@@ -1,0 +1,8 @@
+from e4s2024_tpu.convert.torch_loader import (
+    convert_generator,
+    convert_discriminator,
+    convert_encoder,
+    convert_rgi,
+    load_torch_checkpoint,
+    strip_module_prefix,
+)
