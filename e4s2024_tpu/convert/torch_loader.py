@@ -205,3 +205,120 @@ def convert_rgi(sd: Mapping[str, np.ndarray]) -> dict:
     elif "latent_avg" in sd:
         out["buffers"] = {"latent_avg": sd["latent_avg"]}
     return out
+
+
+# ---------------------------------------------------------------------------
+# Frozen loss-net converters (ArcFace ir_se50, LPIPS alex, face-parsing unet)
+# ---------------------------------------------------------------------------
+
+def _bn(sd, name):
+    out = {
+        "mean": sd[f"{name}.running_mean"],
+        "var": sd[f"{name}.running_var"],
+    }
+    if f"{name}.weight" in sd:
+        out["scale"] = sd[f"{name}.weight"]
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _ir_se_bn_block(sd, name):
+    out = {
+        "bn0": _bn(sd, f"{name}.res_layer.0"),
+        "conv1": _conv(sd, f"{name}.res_layer.1"),
+        "prelu": {"alpha": sd[f"{name}.res_layer.2.weight"]},
+        "conv2": _conv(sd, f"{name}.res_layer.3"),
+        "bn2": _bn(sd, f"{name}.res_layer.4"),
+        "se": {
+            "fc1": _conv(sd, f"{name}.res_layer.5.fc1"),
+            "fc2": _conv(sd, f"{name}.res_layer.5.fc2"),
+        },
+    }
+    if f"{name}.shortcut_layer.0.weight" in sd:
+        out["shortcut_conv"] = _conv(sd, f"{name}.shortcut_layer.0")
+        out["shortcut_bn"] = _bn(sd, f"{name}.shortcut_layer.1")
+    return out
+
+
+def convert_arcface(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map the ir_se50 checkpoint (reference models/encoders/model_irse.py:9,
+    `model_ir_se50.pth`) onto ArcFaceBackbone params."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {
+        "input_conv": _conv(sd, "input_layer.0"),
+        "input_bn": _bn(sd, "input_layer.1"),
+        "input_prelu": {"alpha": sd["input_layer.2.weight"]},
+        "output_bn": _bn(sd, "output_layer.0"),
+        "output_fc_kernel": np.ascontiguousarray(sd["output_layer.3.weight"].T),
+        "output_fc_bias": sd["output_layer.3.bias"],
+        "output_bn1d": _bn(sd, "output_layer.4"),
+    }
+    i = 0
+    while f"body.{i}.res_layer.1.weight" in sd:
+        params[f"body_{i}"] = _ir_se_bn_block(sd, f"body.{i}")
+        i += 1
+    return params
+
+
+def convert_lpips(alex_sd: Mapping[str, np.ndarray],
+                  lin_sd: Mapping[str, np.ndarray]) -> dict:
+    """Map torchvision alexnet.features + LPIPS v0.1 lin weights onto the
+    LPIPS flax module (reference criteria/lpips/networks.py:77, lpips.py:16).
+
+    `alex_sd` keys: features.{0,3,6,8,10}.{weight,bias} (or without the
+    'features.' prefix). `lin_sd` keys: '{i}.1.weight' (LPIPS repo layout after
+    the rename in lpips/utils.py:23-30) or 'lin{i}.model.1.weight'.
+    """
+    def a(idx):
+        for k in (f"features.{idx}", f"{idx}"):
+            if f"{k}.weight" in alex_sd:
+                return _conv(alex_sd, k)
+        raise KeyError(f"alexnet conv {idx} not found")
+
+    params: dict[str, Any] = {
+        "net": {
+            "conv0": a(0), "conv3": a(3), "conv6": a(6),
+            "conv8": a(8), "conv10": a(10),
+        }
+    }
+    for i in range(5):
+        for k in (f"{i}.1.weight", f"lin{i}.model.1.weight"):
+            if k in lin_sd:
+                params[f"lin_{i}"] = lin_sd[k].reshape(-1)
+                break
+        else:
+            raise KeyError(f"lin weight {i} not found")
+    return params
+
+
+def _unet_conv2(sd, name):
+    return {
+        "conv1": _conv(sd, f"{name}.conv1.0"),
+        "bn1": _bn(sd, f"{name}.conv1.1"),
+        "conv2": _conv(sd, f"{name}.conv2.0"),
+        "bn2": _bn(sd, f"{name}.conv2.1"),
+    }
+
+
+def convert_parsing_unet(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map the face-parsing unet checkpoint (reference criteria/face_parsing/
+    unet.py:6, `model.pth`) onto ParsingUNet params."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {}
+    for blk in ("conv1", "conv2", "conv3", "conv4", "center"):
+        params[blk] = _unet_conv2(sd, blk)
+    for blk in ("up_concat4", "up_concat3", "up_concat2", "up_concat1"):
+        params[blk] = {
+            # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out);
+            # flax ConvTranspose cross-correlates where torch convolves, so the
+            # kernel must also be flipped spatially.
+            "up": {
+                "kernel": np.ascontiguousarray(
+                    sd[f"{blk}.up.weight"].transpose(2, 3, 0, 1)[::-1, ::-1]
+                ),
+                "bias": sd[f"{blk}.up.bias"],
+            },
+            "conv": _unet_conv2(sd, f"{blk}.conv"),
+        }
+    params["final"] = _conv(sd, "final")
+    return params
