@@ -1,0 +1,176 @@
+"""Compositing: Laplacian-pyramid blending, soft erosion, gaussian blur, edges.
+
+TPU-native replacements for the reference's CPU OpenCV/PIL compositing stages:
+- multi-band blending (reference swap_face_fine/multi_band_blending.py:6-75,
+  cv2.pyrDown/pyrUp pyramids) as jit-able FIR pyramids,
+- SoftErosion mask softening (reference utils/paste_back_tricks.py:17-44),
+- gaussian/sharpen/Sobel-edge helpers (paste_back_tricks.py:150-171),
+- facial-mask extraction from 12-class maps (paste_back_tricks.py:173-198).
+
+All NHWC float32; images in any range (blending is linear).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from e4s2024_tpu.ops.resize import resize_bilinear_align_corners
+
+# cv2 pyramid kernel: outer([1,4,6,4,1]/16)
+_PYR_TAPS = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def _sep_conv_reflect(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Separable symmetric FIR with REFLECT_101 border (cv2 default)."""
+    k = len(taps)
+    pad = k // 2
+    c = x.shape[-1]
+    kh = jnp.asarray(taps, x.dtype).reshape(k, 1, 1, 1)
+    kw = jnp.asarray(taps, x.dtype).reshape(1, k, 1, 1)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="reflect")
+    x = lax.conv_general_dilated(
+        xp, jnp.tile(kh, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    return lax.conv_general_dilated(
+        xp, jnp.tile(kw, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+def pyr_down(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.pyrDown: gaussian blur then 2x subsample."""
+    return _sep_conv_reflect(x, _PYR_TAPS)[:, ::2, ::2, :]
+
+
+def pyr_up(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.pyrUp: zero-stuff 2x then gaussian blur with 4x-gain kernel."""
+    b, h, w, c = x.shape
+    up = jnp.zeros((b, 2 * h, 2 * w, c), x.dtype).at[:, ::2, ::2, :].set(x)
+    return _sep_conv_reflect(up, _PYR_TAPS * 2.0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def laplacian_pyramid_blend(
+    a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray, num_levels: int = 10
+) -> jnp.ndarray:
+    """Blend a (where mask=1) over b via per-band masking (reference
+    multi_band_blending.py:6-47). Inputs NHWC; mask (B, H, W, 1) in [0, 1];
+    spatial size must be divisible by 2**(num_levels-1)."""
+    ga, gb, gm = [a], [b], [mask]
+    for _ in range(num_levels):
+        ga.append(pyr_down(ga[-1]))
+        gb.append(pyr_down(gb[-1]))
+        gm.append(pyr_down(gm[-1]))
+
+    # band-limited (Laplacian) levels, coarse-to-fine, blended per level
+    out = ga[num_levels - 1] * gm[num_levels - 1] + gb[num_levels - 1] * (
+        1.0 - gm[num_levels - 1]
+    )
+    for i in range(num_levels - 1, 0, -1):
+        la = ga[i - 1] - pyr_up(ga[i])
+        lb = gb[i - 1] - pyr_up(gb[i])
+        ls = la * gm[i - 1] + lb * (1.0 - gm[i - 1])
+        out = pyr_up(out) + ls
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
+def soft_erosion(
+    x: jnp.ndarray,
+    kernel_size: int = 15,
+    threshold: float = 0.6,
+    iterations: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MegaFS-style soft mask erosion (reference paste_back_tricks.py:17-44).
+
+    x: (B, H, W, 1) float mask in [0,1]. Returns (soft mask, hard bool mask).
+    """
+    r = kernel_size // 2
+    yy, xx = np.meshgrid(np.arange(kernel_size, dtype=np.float32),
+                         np.arange(kernel_size, dtype=np.float32), indexing="ij")
+    dist = np.sqrt((xx - r) ** 2 + (yy - r) ** 2)
+    kern = dist.max() - dist
+    kern /= kern.sum()
+    kern = jnp.asarray(kern)[:, :, None, None]
+
+    def conv(v):
+        return lax.conv_general_dilated(
+            v, kern, (1, 1), ((r, r), (r, r)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for _ in range(iterations - 1):
+        x = jnp.minimum(x, conv(x))
+    x = conv(x)
+    hard = x >= threshold
+    below_max = jnp.max(jnp.where(hard, 0.0, x))
+    out = jnp.where(hard, 1.0, x / jnp.maximum(below_max, 1e-8))
+    return out, hard
+
+
+def gaussian_blur(x: jnp.ndarray, sigma: float, ksize: int | None = None) -> jnp.ndarray:
+    """cv2-style gaussian blur (NHWC)."""
+    if ksize is None:
+        ksize = int(2 * round(3 * sigma) + 1)
+    half = ksize // 2
+    t = np.exp(-0.5 * (np.arange(-half, half + 1) / sigma) ** 2)
+    t /= t.sum()
+    return _sep_conv_reflect(x, t.astype(np.float32))
+
+
+def sharpen(x: jnp.ndarray, sigma: float = 10.0) -> jnp.ndarray:
+    """Unsharp mask: 1.5*x - 0.5*blur (reference paste_back_tricks.py:150)."""
+    return 1.5 * x - 0.5 * gaussian_blur(x, sigma)
+
+
+@jax.jit
+def sobel_edge(img: jnp.ndarray) -> jnp.ndarray:
+    """|Sobel_x| + |Sobel_y| grayscale edge magnitude of an RGB image in [0,255]
+    (reference paste_back_tricks.py:157-171, before its blur/gain shaping)."""
+    gray_w = jnp.asarray([0.299, 0.587, 0.114])
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+    ky = kx.T
+    c = img.shape[-1]
+
+    def conv(v, k):
+        kk = jnp.tile(k[:, :, None, None], (1, 1, 1, v.shape[-1]))
+        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        return lax.conv_general_dilated(
+            vp, kk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=v.shape[-1])
+
+    ex = jnp.abs(conv(img, kx))
+    ey = jnp.abs(conv(img, ky))
+    edge = jnp.clip(ex, 0, 255) + jnp.clip(ey, 0, 255)
+    return jnp.einsum("bhwc,c->bhw", edge, gray_w)[..., None]
+
+
+def facial_mask_from_seg12(
+    seg: jnp.ndarray,
+    target_hw: tuple[int, int] | None = None,
+    classes: tuple[int, ...] = (1, 2, 3, 5, 6, 8, 9),
+) -> jnp.ndarray:
+    """Union of facial classes -> float mask (reference paste_back_tricks.py:173).
+
+    seg: (B, H, W) int map. Returns (B, H', W', 1) float in [0,1] (bilinear,
+    align_corners=True, matching the reference's interpolate)."""
+    mask = jnp.zeros_like(seg, dtype=jnp.float32)
+    for c in classes:
+        mask = mask + (seg == c).astype(jnp.float32)
+    mask = mask[..., None]
+    if target_hw is not None:
+        mask = resize_bilinear_align_corners(mask, target_hw)
+    return mask
+
+
+def blend_with_mask(bottom: jnp.ndarray, up: jnp.ndarray,
+                    up_mask: jnp.ndarray, up_ratio: float = 1.0) -> jnp.ndarray:
+    """bottom*(1-m) + up*m with m = up_mask*up_ratio, NaNs in the mask zeroed
+    (reference paste_back_tricks.py:131-148)."""
+    m = jnp.nan_to_num(up_mask) * up_ratio
+    return bottom * (1.0 - m) + up * m
