@@ -322,3 +322,65 @@ def convert_parsing_unet(sd: Mapping[str, np.ndarray]) -> dict:
         }
     params["final"] = _conv(sd, "final")
     return params
+
+
+def _convbnrelu(sd, name):
+    return {"conv": _conv(sd, f"{name}.conv"), "bn": _bn(sd, f"{name}.bn")}
+
+
+def _basic_block(sd, name):
+    out = {
+        "conv1": _conv(sd, f"{name}.conv1"),
+        "bn1": _bn(sd, f"{name}.bn1"),
+        "conv2": _conv(sd, f"{name}.conv2"),
+        "bn2": _bn(sd, f"{name}.bn2"),
+    }
+    if f"{name}.downsample.0.weight" in sd:
+        out["down_conv"] = _conv(sd, f"{name}.downsample.0")
+        out["down_bn"] = _bn(sd, f"{name}.downsample.1")
+    return out
+
+
+def _arm(sd, name):
+    return {
+        "conv": _convbnrelu(sd, f"{name}.conv"),
+        "conv_atten": _conv(sd, f"{name}.conv_atten"),
+        "bn_atten": _bn(sd, f"{name}.bn_atten"),
+    }
+
+
+def _bisenet_out(sd, name):
+    return {
+        "conv": _convbnrelu(sd, f"{name}.conv"),
+        "conv_out": _conv(sd, f"{name}.conv_out"),
+    }
+
+
+def convert_bisenet(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map the BiSeNet face-parser checkpoint (`79999_iter.pth`; reference
+    swap_face_fine/face_parsing/model.py:234) onto e4s2024_tpu BiSeNet params."""
+    sd = strip_module_prefix(sd)
+    resnet = {
+        "conv1": _conv(sd, "cp.resnet.conv1"),
+        "bn1": _bn(sd, "cp.resnet.bn1"),
+    }
+    for layer in range(1, 5):
+        for blk in range(2):
+            resnet[f"layer{layer}_{blk}"] = _basic_block(
+                sd, f"cp.resnet.layer{layer}.{blk}")
+    return {
+        "resnet": resnet,
+        "arm16": _arm(sd, "cp.arm16"),
+        "arm32": _arm(sd, "cp.arm32"),
+        "conv_head32": _convbnrelu(sd, "cp.conv_head32"),
+        "conv_head16": _convbnrelu(sd, "cp.conv_head16"),
+        "conv_avg": _convbnrelu(sd, "cp.conv_avg"),
+        "ffm": {
+            "convblk": _convbnrelu(sd, "ffm.convblk"),
+            "conv1": _conv(sd, "ffm.conv1"),
+            "conv2": _conv(sd, "ffm.conv2"),
+        },
+        "conv_out": _bisenet_out(sd, "conv_out"),
+        "conv_out16": _bisenet_out(sd, "conv_out16"),
+        "conv_out32": _bisenet_out(sd, "conv_out32"),
+    }

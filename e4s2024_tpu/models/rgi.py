@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from e4s2024_tpu.models.encoders import FSEncoderPSP
 from e4s2024_tpu.models.stylegan2 import EqualLinear, Generator
@@ -50,6 +51,11 @@ class RGINet(nn.Module):
     start_from_latent_avg: bool = True
 
     def setup(self):
+        n_latent = 2 * int(np.log2(self.out_size)) - 2
+        if self.remaining_layer_idx not in (17,) and self.remaining_layer_idx > n_latent:
+            raise ValueError(
+                f"remaining_layer_idx={self.remaining_layer_idx} exceeds "
+                f"n_latent={n_latent} for out_size={self.out_size}")
         self.encoder = FSEncoderPSP(name="encoder")
         num_w = self.remaining_layer_idx if self.remaining_layer_idx != 17 else 18
         self.mlps = [

@@ -1,0 +1,217 @@
+"""Single-image face swapping — the end-to-end E4S pipeline, fused on device.
+
+TPU-native re-design of the reference's `FaceSwap.face_swap_pipeline`
+(reference Face_swap_with_two_imgs.py:796): where the reference ping-pongs
+between CUDA modules, PIL and numpy at every stage (§3.2 of SURVEY.md), here
+the whole aligned-crop swap — parsing, regional inversion, mask merge, style
+mixing, synthesis, compositing — is ONE jitted XLA program; only landmark
+detection (pluggable) and file IO stay on host.
+
+Stages (enhancers/reenactment off — the reference's "PR1" CPU-runnable config):
+  1. BiSeNet parse of driven + target crops -> 12-class maps        (:839)
+  2. RGI style vectors for both                                      (:483)
+  3. swapped mask (swap_head_mask) + mixed style vectors             (:455)
+  4. regional StyleGAN2 synthesis with the swapped mask              (:889)
+  5. compositing: soft-eroded content/border masks, linear content
+     paste + multi-band border blend against the target              (:159-219)
+  6. optional perspective paste-back onto the original frame         (:264-279)
+
+Pose-drive (faceVid2Vid), enhancement (GPEN/...), recolor (Blender) slot in
+between stages via the `driven_hook` once those modules are loaded.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e4s2024_tpu.data.labels import _FFHQ_TO_12, NUM_SEG_CLASSES
+from e4s2024_tpu.models.bisenet import BiSeNet, bicubic_downsample
+from e4s2024_tpu.models.rgi import RGINet
+from e4s2024_tpu.ops.blend import laplacian_pyramid_blend, soft_erosion
+from e4s2024_tpu.ops.morphology import dilation, erosion
+from e4s2024_tpu.ops.resize import resize_bilinear
+from e4s2024_tpu.pipelines.mask_merge import swap_head_mask, swap_comp_style_vector
+from e4s2024_tpu.pipelines.alignment import (
+    compute_transform_from_landmarks,
+    quad_from_cxy,
+    crop_quad,
+    warp_perspective,
+    paste_back_coefficients,
+)
+
+_SEG_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+_SEG_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+@dataclass
+class SwapConfig:
+    out_size: int = 1024
+    num_seg_cls: int = NUM_SEG_CLASSES
+    remaining_layer_idx: int = 13
+    outer_dilation: int = 2
+    # keep target {bg, glasses, hair, neck, ear, earring} (ct_mode branch,
+    # reference Face_swap_with_two_imgs.py:469-473)
+    keep_target_components: tuple[int, ...] = (0, 10, 4, 8, 7, 11)
+    regional_mode: str = "exact"  # "fast" for ~K x faster masked layers
+    num_blend_levels: int = 10
+
+
+class FaceSwapper:
+    """Holds model params and the jitted swap program.
+
+    Args:
+      rgi_variables: {"params": ..., "buffers": {"latent_avg": ...}} for RGINet.
+      bisenet_params: BiSeNet parser params.
+      config: SwapConfig.
+      landmark_fn: optional callable np.uint8 image -> (68, 2) landmarks (host).
+    """
+
+    def __init__(self, rgi_variables: dict, bisenet_params: dict,
+                 config: SwapConfig = SwapConfig(),
+                 landmark_fn: Callable[[np.ndarray], np.ndarray] | None = None):
+        self.cfg = config
+        self.rgi = RGINet(
+            num_seg_cls=config.num_seg_cls,
+            out_size=config.out_size,
+            remaining_layer_idx=config.remaining_layer_idx,
+        )
+        self.bisenet = BiSeNet()
+        self.rgi_variables = rgi_variables
+        self.bisenet_params = bisenet_params
+        self.landmark_fn = landmark_fn
+        self._swap_jit = jax.jit(self._swap_aligned)
+
+    # ---------------- jitted core ----------------
+
+    def _parse12(self, img01: jnp.ndarray) -> jnp.ndarray:
+        """(1, S, S, 3) in [0,1] -> (1, 512, 512) 12-class label map."""
+        h = img01.shape[1]
+        if h > 512:
+            x = jnp.clip(bicubic_downsample(img01, h // 512), 0.0, 1.0)
+        elif h < 512:
+            x = resize_bilinear(img01, (512, 512))
+        else:
+            x = img01
+        x = (x - _SEG_MEAN) / _SEG_STD
+        logits, _, _ = self.bisenet.apply({"params": self.bisenet_params}, x)
+        seg19 = jnp.argmax(logits, axis=-1)
+        return jnp.asarray(_FFHQ_TO_12)[seg19]
+
+    def _onehot(self, seg: jnp.ndarray) -> jnp.ndarray:
+        return jax.nn.one_hot(seg, self.cfg.num_seg_cls, dtype=jnp.float32)
+
+    def _style_vectors(self, img_pm1, onehot):
+        sv, _ = self.rgi.apply(self.rgi_variables, img_pm1, onehot,
+                               method=RGINet.get_style_vectors)
+        return sv
+
+    def _composite(self, swapped_pm1, target_pm1, swapped_msk, hole_mask):
+        """Reference _past_back (:159-219): content paste + border multiband."""
+        cfg = self.cfg
+        bg = jnp.zeros_like(swapped_msk, dtype=bool)
+        for c in (0, 11, 4, 7, 8):
+            bg = bg | (swapped_msk == c)
+        fg = (~bg) | hole_mask
+        fg = fg[None, ..., None].astype(jnp.float32)  # (1, 512, 512, 1)
+
+        r = cfg.outer_dilation
+        full = dilation(fg, 2 * r + 1)
+        eroded = erosion(fg, 2 * r + 1)
+        full_soft, _ = soft_erosion(full)
+        eroded_soft, _ = soft_erosion(eroded)
+        border = jnp.clip(full_soft - eroded_soft, 0.0, 1.0)
+        content, _ = soft_erosion(fg)
+
+        size = (cfg.out_size, cfg.out_size)
+        content = resize_bilinear(content, size)
+        border = resize_bilinear(border, size)
+
+        # to [0, 255] for blending, as the reference does
+        sw255 = (swapped_pm1 + 1.0) * 127.5
+        tg255 = (target_pm1 + 1.0) * 127.5
+        out = sw255 * content + tg255 * (1.0 - content)
+        out = laplacian_pyramid_blend(tg255, out, border,
+                                      num_levels=cfg.num_blend_levels)
+        return jnp.clip(out, 0.0, 255.0)
+
+    def _swap_aligned(self, driven255, target255):
+        """driven/target: (1, S, S, 3) float32 aligned crops in [0, 255].
+
+        Returns dict with swapped image [0,255], swapped mask, hole mask."""
+        d01 = driven255 / 255.0
+        t01 = target255 / 255.0
+        d_pm1 = d01 * 2.0 - 1.0
+        t_pm1 = t01 * 2.0 - 1.0
+
+        d_mask = self._parse12(d01)[0]
+        t_mask = self._parse12(t01)[0]
+        d_onehot = self._onehot(d_mask)[None]
+        t_onehot = self._onehot(t_mask)[None]
+
+        d_sv = self._style_vectors(d_pm1, d_onehot)
+        t_sv = self._style_vectors(t_pm1, t_onehot)
+
+        merged = swap_head_mask(d_mask, t_mask)
+        comp = np.asarray(sorted(set(range(self.cfg.num_seg_cls))
+                                 - set(self.cfg.keep_target_components)))
+        swapped_sv = swap_comp_style_vector(t_sv, d_sv, jnp.asarray(comp))
+
+        style_codes = self.rgi.apply(self.rgi_variables, swapped_sv,
+                                     method=RGINet.cal_style_codes)
+        swapped_onehot = self._onehot(merged["mask"])[None]
+        swapped, _, _ = self.rgi.apply(
+            self.rgi_variables, None, style_codes, swapped_onehot,
+            method=RGINet.gen_img,
+            regional_mode=self.cfg.regional_mode,
+        )
+        out255 = self._composite(swapped, t_pm1, merged["mask"], merged["hole_mask"])
+        return {
+            "image": out255,
+            "swapped_mask": merged["mask"],
+            "hole_mask": merged["hole_mask"],
+            "swapped_style_vectors": swapped_sv,
+        }
+
+    # ---------------- host-side orchestration ----------------
+
+    def swap_aligned(self, driven255, target255):
+        """Jitted aligned-crop swap. Inputs (1, S, S, 3) float32 in [0, 255]."""
+        return self._swap_jit(jnp.asarray(driven255), jnp.asarray(target255))
+
+    def swap(self, source_img: np.ndarray, target_img: np.ndarray) -> np.ndarray:
+        """Full swap with alignment + paste-back; needs `landmark_fn`.
+
+        source/target: (H, W, 3) uint8 frames. Returns the target frame with
+        the swapped face pasted back (uint8)."""
+        if self.landmark_fn is None:
+            raise ValueError("swap() needs a landmark_fn; use swap_aligned() "
+                             "for pre-aligned crops")
+        s = self.cfg.out_size
+        crops, quads = [], []
+        for img in (source_img, target_img):
+            lm = self.landmark_fn(img)
+            c, x, y = compute_transform_from_landmarks(lm)
+            quad = quad_from_cxy(c, x, y)
+            crop = crop_quad(jnp.asarray(img, jnp.float32),
+                             jnp.asarray(quad + 0.5), s)
+            crops.append(crop[None])
+            quads.append(quad)
+
+        result = self.swap_aligned(crops[0], crops[1])
+        swapped = result["image"][0]
+
+        coeffs = paste_back_coefficients(quads[1], s)
+        projected = warp_perspective(swapped, jnp.asarray(coeffs),
+                                     target_img.shape[:2])
+        # alpha-composite: inside the quad use the projection
+        alpha = warp_perspective(jnp.ones((s, s, 1)), jnp.asarray(coeffs),
+                                 target_img.shape[:2])
+        out = (projected * alpha
+               + jnp.asarray(target_img, jnp.float32) * (1.0 - alpha))
+        return np.asarray(jnp.clip(out, 0, 255)).astype(np.uint8)
