@@ -1,0 +1,69 @@
+"""Benchmark: single-image 512^2 face swaps per second per chip.
+
+Runs the full jitted swap program (BiSeNet parse x2 -> RGI style vectors x2 ->
+mask merge -> style mixing -> regional StyleGAN2 synthesis -> soft-erosion +
+multiband compositing) with random weights on the available accelerator and
+reports steady-state throughput.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target is 50 swaps/sec/chip on v5e, so vs_baseline = value / 50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from e4s2024_tpu.models.bisenet import BiSeNet
+    from e4s2024_tpu.models.rgi import RGINet
+    from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
+
+    size = 512
+    rng = np.random.default_rng(0)
+    cfg = SwapConfig(out_size=size, remaining_layer_idx=13,
+                     regional_mode="fast", num_blend_levels=8)
+    rgi = RGINet(out_size=size, remaining_layer_idx=13)
+    img = jnp.zeros((1, size, size, 3))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, size, size), int)])
+    # jit the inits: eager init dispatches hundreds of small ops, which is
+    # very slow over the axon device tunnel
+    rgi_vars = jax.jit(rgi.init)(jax.random.PRNGKey(0), img, seg)
+    bise = jax.jit(BiSeNet().init)(jax.random.PRNGKey(1),
+                                   jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(rgi_vars, bise, cfg)
+
+    def make_pair(i):
+        a = (rng.random((1, size, size, 3)) * 255).astype(np.float32)
+        b = (rng.random((1, size, size, 3)) * 255).astype(np.float32)
+        return a, b
+
+    # warmup / compile
+    a, b = make_pair(0)
+    out = swapper.swap_aligned(a, b)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = swapper.swap_aligned(a, b)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    swaps_per_sec = iters / dt
+
+    print(json.dumps({
+        "metric": "512px_full_swaps_per_sec_per_chip",
+        "value": round(swaps_per_sec, 3),
+        "unit": "swaps/s",
+        "vs_baseline": round(swaps_per_sec / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

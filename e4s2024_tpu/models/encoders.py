@@ -87,10 +87,10 @@ class BottleneckIRSE(nn.Module):
 
 # (depth, stride) per unit for the RGI encoder body (reference
 # psp_encoders.py:323-328): 3x128 + 4x256 + 14x512 + 3x512, stride 2 at each
-# group start.
-def rgi_body_plan() -> list[tuple[int, int]]:
+# group start. `num_units` exists only for cheap CI configs.
+def rgi_body_plan(num_units: tuple = (3, 4, 14, 3)) -> list[tuple[int, int]]:
     plan: list[tuple[int, int]] = []
-    for depth, num in ((128, 3), (256, 4), (512, 14), (512, 3)):
+    for depth, num in zip((128, 256, 512, 512), num_units):
         plan.append((depth, 2))
         plan.extend((depth, 1) for _ in range(num - 1))
     return plan
@@ -116,20 +116,28 @@ class FSEncoderPSP(nn.Module):
     Input: 256x256 image (NHWC, [-1,1]) + one-hot segmap (any resolution).
     Returns (style_vectors (B,K,1280), structure_feats (B,16,16,512) zeros —
     the reference's structure branch is disabled, psp_encoders.py:392).
+
+    `num_units` shrinks the body for cheap CI configs; the reference
+    architecture is the default. Taps default to the last unit of groups
+    2/3/4 (units 6/20/23 at full depth).
     """
 
-    taps: Sequence[int] = (6, 20, 23)
+    num_units: tuple = (3, 4, 14, 3)
+    taps: Sequence[int] | None = None
 
     @nn.compact
     def __call__(self, x, segmap):
+        n = self.num_units
+        taps = self.taps or (n[0] + n[1] - 1, n[0] + n[1] + n[2] - 1,
+                             sum(n) - 1)
         x = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="input_conv")(x)
         x = instance_norm(x)
         x = PReLU(name="input_prelu")(x)
 
         tapped = []
-        for i, (depth, stride) in enumerate(rgi_body_plan()):
+        for i, (depth, stride) in enumerate(rgi_body_plan(n)):
             x = BottleneckIRSE(depth, stride, name=f"body_{i}")(x)
-            if i in self.taps:
+            if i in taps:
                 tapped.append(x)
 
         codes = [masked_average_pool(t, segmap) for t in tapped]

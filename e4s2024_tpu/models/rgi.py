@@ -49,6 +49,10 @@ class RGINet(nn.Module):
     split_layer_idx: int = 5
     channel_multiplier: int = 2
     start_from_latent_avg: bool = True
+    # encoder always sees 256^2 in the reference (networks.py:114); smaller
+    # values / unit counts are for cheap CI configs only.
+    encoder_input_size: int = 256
+    encoder_num_units: tuple = (3, 4, 14, 3)
 
     def setup(self):
         n_latent = 2 * int(np.log2(self.out_size)) - 2
@@ -56,7 +60,7 @@ class RGINet(nn.Module):
             raise ValueError(
                 f"remaining_layer_idx={self.remaining_layer_idx} exceeds "
                 f"n_latent={n_latent} for out_size={self.out_size}")
-        self.encoder = FSEncoderPSP(name="encoder")
+        self.encoder = FSEncoderPSP(num_units=self.encoder_num_units, name="encoder")
         num_w = self.remaining_layer_idx if self.remaining_layer_idx != 17 else 18
         self.mlps = [
             LocalMLP(num_w_layers=num_w, name=f"mlp_{i}")
@@ -77,7 +81,8 @@ class RGINet(nn.Module):
     def get_style_vectors(self, img, mask):
         """img: (B, H, W, 3) in [-1,1] (any res; resized to 256 bilinear);
         mask: (B, Hm, Wm, K) one-hot. Returns ((B,K,1280), structure_feats)."""
-        img256 = resize_bilinear(img, (256, 256))
+        s = self.encoder_input_size
+        img256 = resize_bilinear(img, (s, s))
         return self.encoder(img256, mask)
 
     def cal_style_codes(self, style_vectors):

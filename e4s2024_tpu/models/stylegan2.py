@@ -309,6 +309,12 @@ class Generator(nn.Module):
         if noise is None:
             noise = [None] * self.num_layers
 
+        # The E4S path always feeds W+ codes, so the z->w mapping network would
+        # never be touched; create its params at init anyway (they exist in
+        # reference checkpoints and are needed for mean_latent / z sampling).
+        if self.is_initializing():
+            self.style(jnp.zeros((1, self.style_dim)))
+
         out = jnp.tile(self.const_input, (latent.shape[0], 1, 1, 1))
         out = self.conv1(out, latent[:, :, 0], segmap, noise=noise[0],
                          regional_mode=regional_mode)

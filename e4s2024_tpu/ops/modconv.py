@@ -1,26 +1,36 @@
 """Modulated convolution (StyleGAN2) and its regional, mask-conditioned variant.
 
-TPU-native re-design of the reference's ModulatedConv2d + the per-component loop in
-StyledConv/ToRGB (reference models/stylegan2/model.py:184-320 and :382-423).
+TPU-native re-design of the reference's ModulatedConv2d + the per-component loop
+in StyledConv/ToRGB (reference models/stylegan2/model.py:184-320 and :382-423).
 
-The reference computes regional styling by running 12 *sequential* modulated convs
-per styled layer (one per segmentation class) and mask-summing the results — the
-hottest loop in the whole system. Here that loop is restructured two ways:
+Key identity (exact, not an approximation): modulation scales *input channels*
+and demodulation scales *output channels*, both spatially constant, so
 
-- ``exact`` mode: all (batch × component) modulated convs are folded into ONE
-  grouped `lax.conv_general_dilated` call (feature_group_count = B*K), then
-  contracted with the one-hot segmentation map by a single einsum. Numerically
-  identical to the reference loop, but a single large MXU-friendly conv instead of
-  12 small kernel launches.
+    conv(x, scale*W*s_b) * d_b  ==  conv(x * s_b, scale*W) * d_b
 
-- ``fast`` mode: modulation is applied per-pixel on the *input* (each pixel scaled
-  by its own region's style) and demodulation per-pixel on the *output*, giving a
-  single ungrouped conv with 1/K of the FLOPs. For 1x1 kernels (ToRGB) this is
-  numerically identical to ``exact``; for 3x3 kernels it differs only at pixels
-  whose receptive field straddles a region boundary.
+i.e. a per-sample-weight grouped conv (what the reference and stock StyleGAN2
+implementations do, model.py:283-318) is equivalent to input-scale -> ONE
+shared-weight conv -> output-scale. This matters doubly on TPU:
 
-Layout: NHWC activations, HWIO weights. `weight` is the raw (unscaled) parameter;
-the equalized-LR scale 1/sqrt(Cin*kh*kw) is applied inside, as in the reference.
+  - the conv keeps its natural (B, H, W, C) layout, so GSPMD can shard the
+    batch axis cleanly (per-sample grouped weights fold batch into channels and
+    break partitioning);
+  - the demod coefficients collapse to a (Cin x Cout) matmul:
+    d[b,o] = rsqrt(sum_i s[b,i]^2 * Wsq[i,o] + eps),
+    Wsq[i,o] = scale^2 * sum_k W[k,i,o]^2 — no (B, Cout, Cin, kh, kw) weight
+    tensor is ever materialized.
+
+The regional variant folds (batch x component) into the *batch* axis of the
+same shared-weight conv:
+
+- ``exact`` mode: all B*K component convs in one batched conv, mask-contracted
+  by einsum. Numerically identical to the reference loop.
+- ``fast`` mode: per-pixel modulation on the input and per-pixel demodulation
+  on the output — 1/K of the FLOPs; identical to ``exact`` for 1x1 kernels
+  (ToRGB), differs only at region-boundary pixels for 3x3.
+
+Layout: NHWC activations, HWIO weights. `weight` is the raw (unscaled)
+parameter; the equalized-LR scale 1/sqrt(Cin*kh*kw) is applied inside.
 """
 
 from __future__ import annotations
@@ -39,49 +49,55 @@ def _he_scale(weight: jnp.ndarray) -> float:
     return 1.0 / np.sqrt(cin * kh * kw)
 
 
-def _grouped_conv(
-    x: jnp.ndarray,
-    w: jnp.ndarray,
-    groups: int,
-    *,
-    stride: int = 1,
-    padding: int = 0,
-    lhs_dilation: int = 1,
-) -> jnp.ndarray:
-    """Per-group conv: x (1, H, W, G*Cin), w (kh, kw, Cin, G*Cout) -> (1, H', W', G*Cout)."""
+def _demod_coeff(weight: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    """d[..., o] = rsqrt(sum_{i,k} (scale * W[k,i,o] * s[..., i])^2 + eps).
+
+    style: (..., Cin) -> returns (..., Cout)."""
+    scale = _he_scale(weight)
+    wsq = (scale * weight) ** 2
+    wsq = jnp.sum(wsq, axis=(0, 1))  # (Cin, Cout)
+    return lax.rsqrt(jnp.square(style) @ wsq + _EPS)
+
+
+def _conv(x, w, *, stride=1, padding=0, lhs_dilation=1):
     return lax.conv_general_dilated(
-        x,
-        w,
+        x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         lhs_dilation=(lhs_dilation, lhs_dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
     )
 
 
-def _build_weights(
-    weight: jnp.ndarray,
-    style: jnp.ndarray,
-    demodulate: bool,
-) -> tuple[jnp.ndarray, jnp.ndarray | None]:
-    """Per-sample modulated weights.
+def _mod_conv_core(x, weight, style, demodulate, up, down, blur_kernel):
+    """Shared-weight modulated conv on a plain batch.
 
-    weight: (kh, kw, Cin, Cout); style: (G, Cin) modulation scales.
-    Returns (w_all of shape (kh, kw, Cin, G*Cout), demod of shape (G, Cout) or None).
-    """
-    kh, kw, cin, cout = weight.shape
-    g = style.shape[0]
-    scale = _he_scale(weight)
-    # (G, kh, kw, Cin, Cout)
-    w = scale * weight[None] * style[:, None, None, :, None]
-    demod = None
+    x: (B, H, W, Cin); style: (B, Cin). Returns (B, H', W', Cout)."""
+    kh = weight.shape[0]
+    w = _he_scale(weight) * weight
+    xm = x * style[:, None, None, :]
+
+    if up:
+        # conv_transpose(stride 2, pad 0) == conv with 2x lhs_dilation and a
+        # spatially flipped kernel, padding kh-1 (then FIR blur).
+        out = _conv(xm, jnp.flip(w, (0, 1)), padding=kh - 1, lhs_dilation=2)
+        if demodulate:
+            out = out * _demod_coeff(weight, style)[:, None, None, :]
+        p = blur_kernel.shape[0] - 2 - (kh - 1)
+        return fir_blur(out, blur_kernel, pad=((p + 1) // 2 + 1, p // 2 + 1),
+                        upsample_factor=2)
+    if down:
+        p = blur_kernel.shape[0] - 2 + (kh - 1)
+        xm = fir_blur(xm, blur_kernel, pad=((p + 1) // 2, p // 2))
+        out = _conv(xm, w, stride=2)
+        if demodulate:
+            out = out * _demod_coeff(weight, style)[:, None, None, :]
+        return out
+
+    out = _conv(xm, w, padding=kh // 2)
     if demodulate:
-        demod = lax.rsqrt(jnp.sum(jnp.square(w), axis=(1, 2, 3)) + _EPS)  # (G, Cout)
-        w = w * demod[:, None, None, None, :]
-    # group-blocked output channels: (kh, kw, Cin, G*Cout)
-    w_all = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(kh, kw, cin, g * cout)
-    return w_all, demod
+        out = out * _demod_coeff(weight, style)[:, None, None, :]
+    return out
 
 
 def modulated_conv2d(
@@ -100,46 +116,17 @@ def modulated_conv2d(
       x: (B, H, W, Cin).
       weight: (kh, kw, Cin, Cout) raw parameter.
       style: (B, Cin) modulation scales (output of the modulation EqualLinear).
-      up / down: 2x transposed-conv upsample / strided downsample, each followed /
-        preceded by the FIR blur exactly as reference model.py:287-310.
-      blur_kernel: 2D FIR kernel (required when up or down).
+      up / down: 2x transposed-conv upsample / strided downsample with FIR blur
+        exactly as reference model.py:287-310.
 
     Returns: (B, H', W', Cout).
     """
-    b, h, w_, cin = x.shape
-    kh, kw, _, cout = weight.shape
-    w_all, _ = _build_weights(weight, style, demodulate)
-    xg = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w_, b * cin)
-
-    if up:
-        # conv_transpose(stride 2, pad 0) == conv with 2x lhs_dilation, spatially
-        # flipped kernel, padding kh-1.
-        wt = jnp.flip(w_all, (0, 1))
-        out = _grouped_conv(xg, wt, b, padding=kh - 1, lhs_dilation=2)
-        out = _ungroup(out, b, cout)
-        p = blur_kernel.shape[0] - 2 - (kh - 1)
-        out = fir_blur(out, blur_kernel, pad=((p + 1) // 2 + 1, p // 2 + 1), upsample_factor=2)
-        return out
-    if down:
-        p = blur_kernel.shape[0] - 2 + (kh - 1)
-        x = fir_blur(x, blur_kernel, pad=((p + 1) // 2, p // 2))
-        h, w_ = x.shape[1], x.shape[2]
-        xg = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w_, b * cin)
-        out = _grouped_conv(xg, w_all, b, stride=2)
-        return _ungroup(out, b, cout)
-
-    out = _grouped_conv(xg, w_all, b, padding=kh // 2)
-    return _ungroup(out, b, cout)
-
-
-def _ungroup(out: jnp.ndarray, g: int, cout: int) -> jnp.ndarray:
-    _, h, w, _ = out.shape
-    return jnp.transpose(out.reshape(h, w, g, cout), (2, 0, 1, 3))
+    return _mod_conv_core(x, weight, style, demodulate, up, down, blur_kernel)
 
 
 def _nearest_resize_mask(segmap: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
-    """Nearest-neighbor resize of a (B, H, W, K) one-hot map, torch F.interpolate
-    'nearest' semantics (index = floor(i * in / out))."""
+    """Nearest-neighbor resize of a (B, H, W, K) one-hot map, torch
+    F.interpolate 'nearest' semantics (index = floor(i * in / out))."""
     b, h, w, k = segmap.shape
     th, tw = hw
     if (h, w) == (th, tw):
@@ -169,9 +156,9 @@ def regional_modulated_conv2d(
       x: (B, H, W, Cin).
       weight: (kh, kw, Cin, Cout).
       styles: (B, K, Cin) per-component modulation scales.
-      segmap: (B, Hm, Wm, K) one-hot segmentation, resized (nearest) internally to
-        the conv's output resolution.
-      mode: "exact" (grouped conv over B*K, reference-identical) or "fast"
+      segmap: (B, Hm, Wm, K) one-hot segmentation, resized (nearest) internally
+        to the conv's output resolution.
+      mode: "exact" (B*K batched conv, reference-identical) or "fast"
         (per-pixel modulation, ~K x fewer FLOPs, exact for 1x1 kernels).
 
     Returns: (B, Hout, Wout, Cout).
@@ -186,54 +173,31 @@ def regional_modulated_conv2d(
     seg_out = _nearest_resize_mask(segmap, (h_out, w_out)).astype(x.dtype)
 
     if mode == "fast":
-        scale = _he_scale(weight)
-        # per-component demod coefficients (conv-free reductions)
-        if demodulate:
-            w_k = scale * weight[None, None] * styles[:, :, None, None, :, None]
-            demod = lax.rsqrt(jnp.sum(jnp.square(w_k), axis=(2, 3, 4)) + _EPS)  # (B,K,Cout)
         seg_in = _nearest_resize_mask(segmap, (h, w_)).astype(x.dtype)
-        s_pix = jnp.einsum("bhwk,bkc->bhwc", seg_in, styles)  # per-pixel input scales
-        xmod = x * s_pix
-        wk = scale * weight
+        s_pix = jnp.einsum("bhwk,bkc->bhwc", seg_in, styles)
+        w = _he_scale(weight) * weight
         if up:
-            wt = jnp.flip(wk, (0, 1))
-            out = lax.conv_general_dilated(
-                xmod, wt, (1, 1), ((k_sz - 1, k_sz - 1),) * 2,
-                lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            out = _conv(x * s_pix, jnp.flip(w, (0, 1)), padding=k_sz - 1,
+                        lhs_dilation=2)
             p = blur_kernel.shape[0] - 2 - (k_sz - 1)
-            out = fir_blur(out, blur_kernel, pad=((p + 1) // 2 + 1, p // 2 + 1), upsample_factor=2)
+            out = fir_blur(out, blur_kernel,
+                           pad=((p + 1) // 2 + 1, p // 2 + 1), upsample_factor=2)
         else:
-            out = lax.conv_general_dilated(
-                xmod, wk, (1, 1), ((k_sz // 2, k_sz // 2),) * 2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            out = _conv(x * s_pix, w, padding=k_sz // 2)
         if demodulate:
+            demod = _demod_coeff(weight, styles)       # (B, K, Cout)
             d_pix = jnp.einsum("bhwk,bkc->bhwc", seg_out, demod)
             out = out * d_pix
         return out
 
-    # exact: fold (B, K) into conv groups.
-    styles_flat = styles.reshape(b * num_comp, cin)
-    w_all, _ = _build_weights(weight, styles_flat, demodulate)  # (kh,kw,Cin,B*K*Cout)
-    # tile input per component: group order must match style order (b-major, k-minor)
-    xg = jnp.repeat(
-        jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w_, b, cin), num_comp, axis=3
-    ).reshape(1, h, w_, b * num_comp * cin)
-
-    if up:
-        wt = jnp.flip(w_all, (0, 1))
-        out = _grouped_conv(xg, wt, b * num_comp, padding=k_sz - 1, lhs_dilation=2)
-        # blur each component's map (depthwise, so it applies to the grouped
-        # tensor directly), THEN mask-contract at the final 2Hx2W resolution —
-        # matching the reference order (mask applied to the StyledConv.conv
-        # output, which already includes the blur; model.py:391-397).
-        p = blur_kernel.shape[0] - 2 - (k_sz - 1)
-        out = fir_blur(out, blur_kernel, pad=((p + 1) // 2 + 1, p // 2 + 1), upsample_factor=2)
-        hh, ww = out.shape[1], out.shape[2]
-        out = out.reshape(hh, ww, b, num_comp, cout)
-        return jnp.einsum("hwbkc,bhwk->bhwc", out, seg_out)
-
-    out = _grouped_conv(xg, w_all, b * num_comp, padding=k_sz // 2)
-    out = out.reshape(h_out, w_out, b, num_comp, cout)
-    return jnp.einsum("hwbkc,bhwk->bhwc", out, seg_out)
+    # exact: fold (B, K) into the BATCH axis of one shared-weight conv — the
+    # batch stays a batch, so dp-sharding partitions cleanly under GSPMD.
+    xk = (x[:, None] * styles[:, :, None, None, :]).reshape(
+        b * num_comp, h, w_, cin)
+    ones = jnp.ones((b * num_comp, cin), x.dtype)
+    out = _mod_conv_core(xk, weight, ones, False, up, False, blur_kernel)
+    if demodulate:
+        demod = _demod_coeff(weight, styles).reshape(b * num_comp, cout)
+        out = out * demod[:, None, None, :]
+    out = out.reshape(b, num_comp, h_out, w_out, cout)
+    return jnp.einsum("bkhwc,bhwk->bhwc", out, seg_out)

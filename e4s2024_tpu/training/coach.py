@@ -1,0 +1,353 @@
+"""Data-parallel GAN trainer for the RGI net — the Coach, TPU-native.
+
+Re-design of the reference trainer (reference training/coach.py:33-631):
+
+- DDP/NCCL + DistributedSampler + SyncBN (coach.py:38-85) become a 1-D device
+  mesh with a batch-sharded jitted train step; the gradient all-reduce is the
+  implicit psum XLA inserts for the global-batch mean.
+- The G objective is the reference's: LPIPS(3-scale)*0.8 + ID*0.1 +
+  face-parsing*0.1 + L2*1.0 + adv*0.01 (coach.py:453-503, train_options.py:50-59).
+- The D trains every `d_every` steps with softplus losses, optional R1 every
+  `d_reg_every` (coach.py:321-360); R1 uses plain jax.grad (second-order exact).
+- EMA of the whole RGI net with ACCUM = 0.5**(32/100_000) (coach.py:30,445).
+- Parameter freezing mirrors Net3's rules (networks.py:82-95): the StyleGAN
+  mapping MLP never trains; layers >= remaining_layer_idx are frozen.
+- Checkpoints via orbax: {params, ema, d_params, opt states, step, latent_avg}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from e4s2024_tpu.losses import (
+    adv_d_loss,
+    adv_g_loss,
+    feature_cosine_loss,
+    id_loss_crop,
+    multiscale_lpips,
+    r1_penalty,
+)
+from e4s2024_tpu.models import Discriminator
+from e4s2024_tpu.models.arcface import ArcFaceBackbone
+from e4s2024_tpu.models.lpips import LPIPS
+from e4s2024_tpu.models.parser_unet import ParsingUNet
+from e4s2024_tpu.models.rgi import RGINet
+from e4s2024_tpu.ops.pool import adaptive_avg_pool2d
+
+EMA_ACCUM = 0.5 ** (32 / (100 * 1000))  # reference coach.py:30
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors reference options/train_options.py defaults."""
+
+    out_size: int = 1024
+    num_seg_cls: int = 12
+    remaining_layer_idx: int = 13
+    channel_multiplier: int = 2
+    encoder_input_size: int = 256  # reference fixed at 256 (networks.py:114)
+    encoder_num_units: tuple = (3, 4, 14, 3)
+    batch_size: int = 2            # per step (global; shard over mesh)
+    learning_rate: float = 1e-4
+    max_steps: int = 200_000
+    lr_decay_step: int = 100_000   # x0.1 (coach.py:440-442)
+    d_every: int = 15
+    d_reg_every: int = -1
+    # loss weights (train_options.py:50-59)
+    lpips_lambda: float = 0.8
+    id_lambda: float = 0.1
+    face_parsing_lambda: float = 0.1
+    l2_lambda: float = 1.0
+    adv_lambda: float = 0.01
+    r1_lambda: float = 10.0
+    train_G: bool = True
+    train_D: bool = True
+    # "exact" reproduces the reference's per-component conv semantics; "fast"
+    # trains with per-pixel regional modulation at ~1/12 the masked-layer FLOPs
+    # (see e4s2024_tpu.ops.modconv) — the recommended TPU training mode.
+    regional_mode: str = "exact"
+
+
+class CoachState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any            # RGI net params
+    buffers: Any           # {latent_avg}
+    ema_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+def _g_trainable_mask(params, cfg: TrainConfig):
+    """Freeze rules of Net3 (reference networks.py:82-95): generator style MLP
+    never trains; generator tail layers >= remaining_layer_idx frozen."""
+    n_convs = 2 * (int(np.log2(cfg.out_size)) - 2)
+    n_rgbs = n_convs // 2
+    frozen_convs = set()
+    frozen_rgbs = set()
+    if cfg.remaining_layer_idx != 17:
+        n_frozen = 17 - cfg.remaining_layer_idx
+        frozen_convs = {f"convs_{i}" for i in range(n_convs - n_frozen, n_convs)}
+        frozen_rgbs = {f"to_rgbs_{i}" for i in range(n_rgbs - (n_frozen // 2 + 1), n_rgbs)}
+
+    def mask_path(path):
+        keys = [getattr(p, "key", None) for p in path]
+        if "generator" in keys:
+            gi = keys.index("generator")
+            sub = keys[gi + 1]
+            if isinstance(sub, str) and sub.startswith("style_"):
+                return False
+            if not cfg.train_G:
+                return False
+            if sub in frozen_convs or sub in frozen_rgbs:
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: mask_path(p), params)
+
+
+class Coach:
+    """Builds models/optimizers and exposes jitted train steps.
+
+    `loss_params` may hold params for "lpips", "arcface", "parser" — any that
+    are absent disable the corresponding loss term (like setting its lambda 0).
+    """
+
+    def __init__(self, cfg: TrainConfig, loss_params: dict | None = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.net = RGINet(
+            num_seg_cls=cfg.num_seg_cls, out_size=cfg.out_size,
+            remaining_layer_idx=cfg.remaining_layer_idx,
+            channel_multiplier=cfg.channel_multiplier,
+            encoder_input_size=cfg.encoder_input_size,
+            encoder_num_units=cfg.encoder_num_units,
+        )
+        self.disc = Discriminator(size=cfg.out_size,
+                                  channel_multiplier=cfg.channel_multiplier)
+        self.loss_params = loss_params or {}
+        self.lpips = LPIPS() if "lpips" in self.loss_params else None
+        self.arcface = ArcFaceBackbone() if "arcface" in self.loss_params else None
+        self.parser = ParsingUNet() if "parser" in self.loss_params else None
+
+        sched = optax.piecewise_constant_schedule(
+            cfg.learning_rate, {cfg.lr_decay_step: 0.1})
+        self._g_tx_inner = optax.adam(sched)
+        self._d_tx = optax.adam(sched)
+        self._g_tx = None  # built at init_state (needs params for the mask)
+
+        shard = None
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("dp"))
+            self._g_step = jax.jit(
+                self._g_train_step,
+                in_shardings=(repl, data, data),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+            self._d_step = jax.jit(
+                self._d_train_step,
+                in_shardings=(repl, data, data),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+                static_argnums=(3,),
+            )
+        else:
+            self._g_step = jax.jit(self._g_train_step, donate_argnums=(0,))
+            self._d_step = jax.jit(self._d_train_step, donate_argnums=(0,),
+                                   static_argnums=(3,))
+
+    # ---------------- state ----------------
+
+    def init_state(self, rng) -> CoachState:
+        cfg = self.cfg
+        img = jnp.zeros((1, cfg.out_size, cfg.out_size, 3))
+        seg = jnp.zeros((1, min(cfg.out_size, 512), min(cfg.out_size, 512),
+                         cfg.num_seg_cls))
+        variables = jax.jit(self.net.init)(rng, img, seg)
+        d_params = jax.jit(self.disc.init)(jax.random.fold_in(rng, 1), img)["params"]
+        params = variables["params"]
+        mask = _g_trainable_mask(params, cfg)
+        self._g_tx = optax.multi_transform(
+            {True: self._g_tx_inner, False: optax.set_to_zero()}, mask)
+        return CoachState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            buffers=variables["buffers"],
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            d_params=d_params,
+            g_opt=self._g_tx.init(params),
+            d_opt=self._d_tx.init(d_params),
+        )
+
+    def load_pretrained(self, state: CoachState, rgi_variables: dict,
+                        d_params: dict | None = None) -> CoachState:
+        """Bootstrap from converted checkpoints (reference coach.py:88-173)."""
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, rgi_variables["params"]),
+            ema_params=jax.tree_util.tree_map(jnp.asarray, rgi_variables["params"]),
+        )
+        if "buffers" in rgi_variables:
+            state = state.replace(
+                buffers=jax.tree_util.tree_map(jnp.asarray, rgi_variables["buffers"]))
+        if d_params is not None:
+            state = state.replace(
+                d_params=jax.tree_util.tree_map(jnp.asarray, d_params))
+        return state
+
+    # ---------------- losses ----------------
+
+    def _recon_loss(self, recon, img):
+        cfg = self.cfg
+        loss = 0.0
+        metrics = {}
+        if cfg.l2_lambda > 0:
+            l2 = jnp.mean(jnp.square(recon - img))
+            loss += cfg.l2_lambda * l2
+            metrics["loss_l2"] = l2
+        if cfg.lpips_lambda > 0 and self.lpips is not None:
+            lp = multiscale_lpips(
+                lambda a, b: self.lpips.apply(
+                    {"params": self.loss_params["lpips"]}, a, b),
+                recon, img)
+            loss += cfg.lpips_lambda * lp
+            metrics["loss_lpips"] = lp
+        if cfg.id_lambda > 0 and self.arcface is not None:
+            feats = lambda x: self.arcface.apply(
+                {"params": self.loss_params["arcface"]}, id_loss_crop(x),
+                multi_scale=True)
+            idl = feature_cosine_loss(feats(recon), feats(img))
+            loss += cfg.id_lambda * idl
+            metrics["loss_id"] = idl
+        if cfg.face_parsing_lambda > 0 and self.parser is not None:
+            pool = lambda x: adaptive_avg_pool2d(x, (512, 512)) \
+                if x.shape[1] != 512 else x
+            pfeats = lambda x: self.parser.apply(
+                {"params": self.loss_params["parser"]}, pool(x),
+                method=ParsingUNet.extract_feats)
+            fpl = feature_cosine_loss(pfeats(recon), pfeats(img))
+            loss += cfg.face_parsing_lambda * fpl
+            metrics["loss_face_parsing"] = fpl
+        return loss, metrics
+
+    # ---------------- train steps ----------------
+
+    def _g_train_step(self, state: CoachState, img, onehot):
+        cfg = self.cfg
+
+        def loss_fn(params):
+            recon, _ = self.net.apply(
+                {"params": params, "buffers": state.buffers}, img, onehot,
+                regional_mode=cfg.regional_mode)
+            loss, metrics = self._recon_loss(recon, img)
+            if cfg.adv_lambda > 0 and cfg.train_D:
+                fake_pred = self.disc.apply({"params": state.d_params}, recon)
+                adv = adv_g_loss(fake_pred)
+                loss += cfg.adv_lambda * adv
+                metrics["loss_g_adv"] = adv
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, g_opt = self._g_tx.update(grads, state.g_opt, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * EMA_ACCUM + p * (1.0 - EMA_ACCUM),
+            state.ema_params, params)
+        state = state.replace(params=params, ema_params=ema, g_opt=g_opt,
+                              step=state.step + 1)
+        return state, metrics
+
+    def _d_train_step(self, state: CoachState, img, onehot, with_r1: bool = False):
+        cfg = self.cfg
+
+        def loss_fn(d_params):
+            recon, _ = self.net.apply(
+                {"params": state.params, "buffers": state.buffers}, img, onehot,
+                regional_mode=cfg.regional_mode)
+            recon = jax.lax.stop_gradient(recon)
+            fake_pred = self.disc.apply({"params": d_params}, recon)
+            real_pred = self.disc.apply({"params": d_params}, img)
+            loss = adv_d_loss(real_pred, fake_pred)
+            metrics = {
+                "d_loss": loss,
+                "real_score": jnp.mean(real_pred),
+                "fake_score": jnp.mean(fake_pred),
+            }
+            if with_r1:
+                r1 = r1_penalty(
+                    lambda x: self.disc.apply({"params": d_params}, x), img)
+                loss = loss + cfg.r1_lambda / 2 * r1 * max(cfg.d_reg_every, 1)
+                metrics["r1_loss"] = r1
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.d_params)
+        updates, d_opt = self._d_tx.update(grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt=d_opt), metrics
+
+    # ---------------- host loop ----------------
+
+    def fit(self, batches: Iterable[tuple[np.ndarray, np.ndarray]],
+            state: CoachState, steps: int,
+            callback: Callable[[int, dict], None] | None = None) -> CoachState:
+        """Run `steps` training iterations over (img, onehot) batches.
+
+        img: (B, S, S, 3) in [-1, 1]; onehot: (B, 512, 512, K)."""
+        cfg = self.cfg
+        it = iter(batches)
+        for _ in range(steps):
+            img, onehot = next(it)
+            img = jnp.asarray(img)
+            onehot = jnp.asarray(onehot)
+            step = int(state.step)
+            metrics = {}
+            if cfg.train_D and step % cfg.d_every == 0:
+                with_r1 = cfg.d_reg_every != -1 and step % cfg.d_reg_every == 0
+                state, d_metrics = self._d_step(state, img, onehot, with_r1)
+                metrics.update({k: float(v) for k, v in d_metrics.items()})
+            if cfg.train_G:
+                state, g_metrics = self._g_step(state, img, onehot)
+                metrics.update({k: float(v) for k, v in g_metrics.items()})
+            if callback is not None:
+                callback(step, metrics)
+        return state
+
+    # ---------------- checkpointing ----------------
+
+    def save_checkpoint(self, path: str, state: CoachState):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, dataclasses.asdict(
+            state) if not isinstance(state, CoachState) else {
+                "step": state.step, "params": state.params,
+                "buffers": state.buffers, "ema_params": state.ema_params,
+                "d_params": state.d_params, "g_opt": state.g_opt,
+                "d_opt": state.d_opt}))
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, path: str, state: CoachState) -> CoachState:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        tpl = {"step": state.step, "params": state.params,
+               "buffers": state.buffers, "ema_params": state.ema_params,
+               "d_params": state.d_params, "g_opt": state.g_opt,
+               "d_opt": state.d_opt}
+        restored = ckptr.restore(path, tpl)
+        return state.replace(**restored)

@@ -1,0 +1,91 @@
+"""Latent (style-vector) optimization — on-device W-space refinement.
+
+Re-design of the reference's `Optimizer.optim_W_online` (reference
+optimization.py:321-351): gradient-descent refinement of the per-region style
+VECTORS (not W+ directly) against the reconstruction criterion, 150-200 steps
+of Adam at lr 1e-2 (options/optim_options.py:37-39).
+
+The reference runs a Python loop with a torch optimizer; here the whole
+optimization is ONE jitted `lax.scan` over optax updates — a single XLA
+program, no host round-trips between steps.
+
+Also provides `ranger`, the RAdam+LookAhead optimizer the reference trainer
+offers (reference training/ranger.py), composed from optax primitives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from e4s2024_tpu.models.rgi import RGINet
+
+
+def ranger(learning_rate: float, sync_period: int = 6,
+           slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """RAdam + LookAhead (reference training/ranger.py:163)."""
+    return optax.lookahead(
+        optax.radam(learning_rate),
+        sync_period=sync_period,
+        slow_step_size=slow_step_size,
+    )
+
+
+def optimize_style_vectors(
+    net: RGINet,
+    variables: dict,
+    criterion: Callable[[jnp.ndarray, jnp.ndarray], tuple],
+    img: jnp.ndarray,
+    onehot: jnp.ndarray,
+    *,
+    steps: int = 150,
+    lr: float = 1e-2,
+    optimizer: str = "adam",
+    init_style_vectors: jnp.ndarray | None = None,
+):
+    """Refine per-region style vectors to reconstruct `img`.
+
+    Args:
+      net/variables: the (frozen) RGI net.
+      criterion: (recon, img) -> (loss, metrics) — a ReconCriterion.
+      img: (1, S, S, 3) in [-1, 1]; onehot: (1, Hm, Wm, K).
+      init_style_vectors: warm start; default = encoder output (the
+        reference's initialization, optimization.py:335-338).
+
+    Returns (style_vectors (1, K, 1280), per-step loss trace (steps,)).
+    """
+    if init_style_vectors is None:
+        init_style_vectors, _ = net.apply(
+            variables, img, onehot, method=RGINet.get_style_vectors)
+
+    opts = {"adam": optax.adam, "sgd": optax.sgd,
+            "sgdm": functools.partial(optax.sgd, momentum=0.9),
+            "adamax": optax.adamax}
+    tx = opts[optimizer](lr)
+
+    def loss_fn(sv):
+        codes = net.apply(variables, sv, method=RGINet.cal_style_codes)
+        recon, _, _ = net.apply(variables, None, codes, onehot,
+                                method=RGINet.gen_img)
+        loss, _ = criterion(recon, img)
+        return loss
+
+    @jax.jit
+    def run(sv0):
+        opt0 = tx.init(sv0)
+
+        def step_fn(carry, _):
+            sv, opt = carry
+            loss, grads = jax.value_and_grad(loss_fn)(sv)
+            updates, opt = tx.update(grads, opt, sv)
+            sv = optax.apply_updates(sv, updates)
+            return (sv, opt), loss
+
+        (sv, _), losses = jax.lax.scan(step_fn, (sv0, opt0), None, length=steps)
+        return sv, losses
+
+    return run(init_style_vectors)

@@ -1,0 +1,257 @@
+"""PTI per-video generator tuning + boundary-stitching tuning, frame-sharded.
+
+Re-designs of the reference coaches:
+
+- `PTICoach` ~ VideoSwapPTICoach (reference training/video_swap_ft_coach.py:239):
+  fine-tune the generator on a clip so every frame's (fixed) style vectors
+  reconstruct the driven frames, with a recolor-guidance term
+  (recolor_lambda=5, foreground-masked). The reference loops frames serially,
+  taking one optimizer step per frame per outer step (:242-317); here frames
+  are a batch axis sharded over the device mesh, so one optimizer step uses
+  the frame-MEAN gradient (the psum the mesh gives for free, SURVEY.md §5.7)
+  — the natural TPU formulation of the same objective.
+
+- `StitchingCoach` ~ VideoSwapStichingCoach (training/video_swap_stich_coach.py:208):
+  tune the generator so synthesis matches the PTI result in the face (content)
+  region and the target frame in the dilated border ring
+  (calc_loss_withBorderMask, :153-205); lr 1e-2, 100 steps.
+
+Mask preprocessing (`eroded_label_map` ~ erode_mask, video_swap_ft_coach.py:64-93)
+runs on device via the morphology ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from e4s2024_tpu.losses.recon import ReconCriterion
+from e4s2024_tpu.models.rgi import RGINet
+from e4s2024_tpu.ops.morphology import erosion
+from e4s2024_tpu.ops.resize import resize_bilinear
+from e4s2024_tpu.training.coach import _g_trainable_mask, TrainConfig
+
+
+def eroded_label_map(label: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
+    """Erode the face region of a (B, H, W) 12-class map; non-face (bg/hair/
+    earring) and eroded-away pixels become background (reference
+    video_swap_ft_coach.py:64-93)."""
+    face = ~((label == 0) | (label == 4) | (label == 11))
+    face_f = face[..., None].astype(jnp.float32)
+    eroded = erosion(face_f, 2 * radius + 1)[..., 0] > 0.5
+    return jnp.where(eroded, label, 0)
+
+
+def foreground_mask_from_label(label: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(B, H, W) -> (B, size, size, 1) float foreground (non bg/hair/earring)
+    mask (reference video_swap_ft_coach.py:296-300)."""
+    fg = ~((label == 0) | (label == 4) | (label == 11))
+    return resize_bilinear(fg[..., None].astype(jnp.float32), (size, size))
+
+
+@dataclass
+class PTIConfig:
+    """Reference defaults: gradio_swap.py:146-148,
+    our_swap_face_pipeline_options.py:20-45."""
+
+    max_pti_steps: int = 80
+    learning_rate: float = 1e-3
+    recolor_lambda: float = 5.0
+    erode_radius: int = 3
+    erode: bool = False
+    # loss weights (pti coach uses the standard recon combo)
+    lpips_lambda: float = 0.8
+    id_lambda: float = 0.1
+    face_parsing_lambda: float = 0.1
+    l2_lambda: float = 1.0
+
+
+class PTICoach:
+    """Per-video generator fine-tune with the frame axis on the mesh."""
+
+    def __init__(self, net: RGINet, loss_params: dict, cfg: PTIConfig = PTIConfig(),
+                 mesh=None):
+        self.net = net
+        self.cfg = cfg
+        self.mesh = mesh
+        self.criterion = ReconCriterion(
+            loss_params, lpips_lambda=cfg.lpips_lambda, id_lambda=cfg.id_lambda,
+            face_parsing_lambda=cfg.face_parsing_lambda, l2_lambda=cfg.l2_lambda)
+        self.tx = None
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("fr"))
+            self._step = jax.jit(
+                self._train_step,
+                in_shardings=((repl, repl), repl, data, data, data, data),
+                out_shardings=((repl, repl), repl),
+                donate_argnums=(0,),
+            )
+        else:
+            self._step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    def _build_tx(self, params):
+        cfg_like = TrainConfig(out_size=self.net.out_size,
+                               remaining_layer_idx=self.net.remaining_layer_idx)
+        mask = _g_trainable_mask(params, cfg_like)
+        self.tx = optax.multi_transform(
+            {True: optax.adam(self.cfg.learning_rate), False: optax.set_to_zero()},
+            mask)
+
+    def _synth(self, params, buffers, style_vectors, onehot):
+        variables = {"params": params, "buffers": buffers}
+        codes = self.net.apply(variables, style_vectors,
+                               method=RGINet.cal_style_codes)
+        recon, _, _ = self.net.apply(variables, None, codes, onehot,
+                                     method=RGINet.gen_img)
+        return recon
+
+    def _train_step(self, carry, buffers, frames, onehot, style_vectors, recolor):
+        params, opt = carry
+        cfg = self.cfg
+
+        def loss_fn(p):
+            recon = self._synth(p, buffers, style_vectors, onehot)
+            loss, metrics = self.criterion(recon, frames)
+            fg = jnp.max(onehot[..., [1, 2, 3, 5, 6, 7, 8, 9, 10]], axis=-1)
+            fg = resize_bilinear(fg[..., None], (recon.shape[1], recon.shape[2]))
+            rloss, _ = self.criterion(recon * fg, recolor * fg)
+            loss = loss + cfg.recolor_lambda * rloss
+            metrics["loss_recolor"] = rloss
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = self.tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt), metrics
+
+    def tune(self, variables: dict, frames, labels, style_vectors, recolor,
+             steps: int | None = None):
+        """Fine-tune the generator on a clip.
+
+        frames/recolor: (F, S, S, 3) in [-1, 1]; labels: (F, Hm, Wm) int
+        12-class; style_vectors: (F, K, 1280).
+
+        Returns (tuned variables, per-step metrics list)."""
+        cfg = self.cfg
+        params, buffers = variables["params"], variables["buffers"]
+        if self.tx is None:
+            self._build_tx(params)
+        if cfg.erode:
+            labels = eroded_label_map(jnp.asarray(labels), cfg.erode_radius)
+        onehot = jax.nn.one_hot(jnp.asarray(labels), self.net.num_seg_cls,
+                                dtype=jnp.float32)
+        frames = jnp.asarray(frames)
+        recolor = jnp.asarray(recolor)
+        style_vectors = jnp.asarray(style_vectors)
+
+        carry = (params, self.tx.init(params))
+        history = []
+        for _ in range(steps if steps is not None else cfg.max_pti_steps):
+            carry, metrics = self._step(carry, buffers, frames, onehot,
+                                        style_vectors, recolor)
+            history.append({k: float(v) for k, v in metrics.items()})
+        params, _ = carry
+        return {"params": params, "buffers": buffers}, history
+
+
+@dataclass
+class StitchingConfig:
+    """Reference defaults: our_swap_face_pipeline_options.py:19,33,36."""
+
+    max_steps: int = 100
+    learning_rate: float = 1e-2
+    outer_dilation: int = 15
+    lpips_lambda: float = 0.8
+    id_lambda: float = 0.0
+    face_parsing_lambda: float = 0.0
+    l2_lambda: float = 1.0
+
+
+class StitchingCoach:
+    """Boundary-stitching generator tune (content vs PTI result, border vs
+    target frame)."""
+
+    def __init__(self, net: RGINet, loss_params: dict,
+                 cfg: StitchingConfig = StitchingConfig(), mesh=None):
+        self.net = net
+        self.cfg = cfg
+        self.criterion = ReconCriterion(
+            loss_params, lpips_lambda=cfg.lpips_lambda, id_lambda=cfg.id_lambda,
+            face_parsing_lambda=cfg.face_parsing_lambda, l2_lambda=cfg.l2_lambda)
+        self.tx = None
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("fr"))
+            self._step = jax.jit(
+                self._train_step,
+                in_shardings=((repl, repl), repl, data, data, data, data),
+                out_shardings=((repl, repl), repl),
+                donate_argnums=(0,),
+            )
+        else:
+            self._step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    def _train_step(self, carry, buffers, content_img, border_img, onehot,
+                    style_vectors):
+        params, opt = carry
+        cfg = self.cfg
+
+        def loss_fn(p):
+            variables = {"params": p, "buffers": buffers}
+            codes = self.net.apply(variables, style_vectors,
+                                   method=RGINet.cal_style_codes)
+            recon, _, _ = self.net.apply(variables, None, codes, onehot,
+                                         method=RGINet.gen_img)
+            size = recon.shape[1]
+            # foreground from the swapped mask; content/border via morphology
+            fg = 1.0 - jnp.max(onehot[..., [0, 4, 11]], axis=-1)
+            fg = fg[..., None]
+            from e4s2024_tpu.ops.morphology import dilation
+            full = dilation(fg, 2 * cfg.outer_dilation + 1)
+            border = jnp.clip(full - fg, 0.0, 1.0)
+            content = resize_bilinear(fg, (size, size))
+            border = resize_bilinear(border, (size, size))
+
+            c_loss, metrics = self.criterion(recon * content,
+                                             content_img * content)
+            b_l2 = jnp.mean(jnp.square(recon * border - border_img * border))
+            loss = c_loss + cfg.l2_lambda * b_l2
+            metrics["loss_border_l2"] = b_l2
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = self.tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt), metrics
+
+    def tune(self, variables, content_imgs, border_imgs, labels, style_vectors,
+             steps: int | None = None):
+        """content/border imgs: (F, S, S, 3) [-1,1]; labels (F, Hm, Wm) int."""
+        params, buffers = variables["params"], variables["buffers"]
+        if self.tx is None:
+            cfg_like = TrainConfig(out_size=self.net.out_size,
+                                   remaining_layer_idx=self.net.remaining_layer_idx)
+            mask = _g_trainable_mask(params, cfg_like)
+            self.tx = optax.multi_transform(
+                {True: optax.adam(self.cfg.learning_rate),
+                 False: optax.set_to_zero()}, mask)
+        onehot = jax.nn.one_hot(jnp.asarray(labels), self.net.num_seg_cls,
+                                dtype=jnp.float32)
+        carry = (params, self.tx.init(params))
+        history = []
+        for _ in range(steps if steps is not None else self.cfg.max_steps):
+            carry, metrics = self._step(
+                carry, buffers, jnp.asarray(content_imgs),
+                jnp.asarray(border_imgs), onehot, jnp.asarray(style_vectors))
+            history.append({k: float(v) for k, v in metrics.items()})
+        params, _ = carry
+        return {"params": params, "buffers": buffers}, history

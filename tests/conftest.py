@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the trainer/pipeline graphs are large and CPU
+# XLA compiles are slow; cache them across test sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/e4s_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np
 import pytest

@@ -1,0 +1,99 @@
+"""Trainer tests on the virtual 8-device CPU mesh: sharded G/D steps, EMA,
+param freezing, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from e4s2024_tpu.parallel import make_mesh
+from e4s2024_tpu.training import Coach, TrainConfig
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+        encoder_input_size=64, batch_size=8, d_every=2, d_reg_every=4,
+        lpips_lambda=0.0, id_lambda=0.0, face_parsing_lambda=0.0,
+        regional_mode="fast", encoder_num_units=(1, 1, 2, 1),
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def batch_gen(rng, b=8, s=64, k=12):
+    while True:
+        img = rng.standard_normal((b, s, s, 3)).astype(np.float32) * 0.3
+        seg = np.eye(k, dtype=np.float32)[rng.integers(0, k, (b, 64, 64))]
+        yield img, seg
+
+
+@pytest.fixture(scope="module")
+def trained():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(8)
+    coach = Coach(tiny_cfg(), mesh=mesh)
+    state = coach.init_state(jax.random.PRNGKey(0))
+    logs = []
+    state = coach.fit(batch_gen(rng), state, steps=3,
+                      callback=lambda s, m: logs.append((s, m)))
+    return coach, state, logs
+
+
+def test_fit_runs_and_logs(trained):
+    coach, state, logs = trained
+    assert int(state.step) == 3
+    assert len(logs) == 3
+    # D trains on steps 0 and 2 (d_every=2); r1 on steps 0 (d_reg_every=4)
+    assert "d_loss" in logs[0][1] and "r1_loss" in logs[0][1]
+    assert "d_loss" in logs[2][1] and "r1_loss" not in logs[2][1]
+    assert "d_loss" not in logs[1][1]
+    assert all(np.isfinite(m["loss"]) for _, m in logs)
+
+
+def test_frozen_params_unchanged(trained):
+    coach, state, _ = trained
+    fresh = coach.init_state(jax.random.PRNGKey(0))
+    gen = state.params["generator"]
+    gen0 = fresh.params["generator"]
+    # style MLP frozen
+    np.testing.assert_array_equal(np.asarray(gen["style_1"]["kernel"]),
+                                  np.asarray(gen0["style_1"]["kernel"]))
+    # tail layers frozen (remaining=7 at 64px: convs 6,7 of 8... compute)
+    n_convs = 8
+    n_frozen = 17 - 7
+    frozen_idx = max(n_convs - n_frozen, 0)
+    np.testing.assert_array_equal(
+        np.asarray(gen[f"convs_{n_convs - 1}"]["conv"]["weight"]),
+        np.asarray(gen0[f"convs_{n_convs - 1}"]["conv"]["weight"]))
+    # trainable layers moved
+    assert not np.array_equal(np.asarray(gen["conv1"]["conv"]["weight"]),
+                              np.asarray(gen0["conv1"]["conv"]["weight"]))
+    # encoder trains
+    assert not np.array_equal(
+        np.asarray(state.params["encoder"]["input_conv"]["kernel"]),
+        np.asarray(fresh.params["encoder"]["input_conv"]["kernel"]))
+
+
+def test_ema_tracks(trained):
+    coach, state, _ = trained
+    # EMA is between init and current params (moved but lagging)
+    p = np.asarray(state.params["encoder"]["input_conv"]["kernel"])
+    e = np.asarray(state.ema_params["encoder"]["input_conv"]["kernel"])
+    assert not np.array_equal(p, e)
+    assert np.abs(e - p).mean() < 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    coach, state, _ = trained
+    path = str(tmp_path / "ckpt")
+    coach.save_checkpoint(path, state)
+    fresh = coach.init_state(jax.random.PRNGKey(1))
+    restored = coach.restore_checkpoint(path, fresh)
+    np.testing.assert_array_equal(np.asarray(restored.step), np.asarray(state.step))
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
