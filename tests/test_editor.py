@@ -51,7 +51,8 @@ def test_interpolation(editor, rng):
     np.testing.assert_allclose(np.asarray(mid), np.asarray(sv_a) + 0.5, atol=1e-5)
     only_nose = editor.interpolate_styles(sv_a, sv_b, 0.5, components=["nose"])
     np.testing.assert_allclose(np.asarray(only_nose[0, 4]), np.asarray(sv_a[0, 4]))
-    np.testing.assert_allclose(np.asarray(only_nose[0, 5]), np.asarray(sv_a[0, 5]) + 0.5)
+    np.testing.assert_allclose(np.asarray(only_nose[0, 5]),
+                               np.asarray(sv_a[0, 5]) + 0.5, atol=1e-5)
 
 
 def test_mask_edits(editor):
