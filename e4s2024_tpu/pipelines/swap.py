@@ -60,6 +60,10 @@ class SwapConfig:
     keep_target_components: tuple[int, ...] = (0, 10, 4, 8, 7, 11)
     regional_mode: str = "exact"  # "fast" for ~K x faster masked layers
     num_blend_levels: int = 10
+    # "staged" compiles parse / invert / synthesize+composite as separate XLA
+    # programs (much faster to compile, arrays stay on device between stages);
+    # "fused" compiles the whole swap as one program.
+    jit_mode: str = "staged"
 
 
 class FaceSwapper:
@@ -85,7 +89,13 @@ class FaceSwapper:
         self.rgi_variables = rgi_variables
         self.bisenet_params = bisenet_params
         self.landmark_fn = landmark_fn
-        self._swap_jit = jax.jit(self._swap_aligned)
+        if config.jit_mode == "fused":
+            self._swap_jit = jax.jit(self._swap_aligned)
+        else:
+            self._swap_jit = self._swap_staged
+            self._parse_jit = jax.jit(self._parse12)
+            self._invert_jit = jax.jit(self._style_vectors)
+            self._synth_jit = jax.jit(self._synth_and_composite)
 
     # ---------------- jitted core ----------------
 
@@ -139,6 +149,43 @@ class FaceSwapper:
         out = laplacian_pyramid_blend(tg255, out, border,
                                       num_levels=cfg.num_blend_levels)
         return jnp.clip(out, 0.0, 255.0)
+
+    def _synth_and_composite(self, swapped_sv, swapped_mask, hole_mask, t_pm1):
+        """Stage 3: codes -> regional synthesis -> composite (jitted)."""
+        style_codes = self.rgi.apply(self.rgi_variables, swapped_sv,
+                                     method=RGINet.cal_style_codes)
+        swapped_onehot = self._onehot(swapped_mask)[None]
+        swapped, _, _ = self.rgi.apply(
+            self.rgi_variables, None, style_codes, swapped_onehot,
+            method=RGINet.gen_img,
+            regional_mode=self.cfg.regional_mode,
+        )
+        return self._composite(swapped, t_pm1, swapped_mask, hole_mask)
+
+    def _swap_staged(self, driven255, target255):
+        """Staged-jit version of _swap_aligned: 3 smaller XLA programs."""
+        d01 = driven255 / 255.0
+        t01 = target255 / 255.0
+        d_pm1 = d01 * 2.0 - 1.0
+        t_pm1 = t01 * 2.0 - 1.0
+
+        d_mask = self._parse_jit(d01)[0]
+        t_mask = self._parse_jit(t01)[0]
+        d_sv = self._invert_jit(d_pm1, self._onehot(d_mask)[None])
+        t_sv = self._invert_jit(t_pm1, self._onehot(t_mask)[None])
+
+        merged = swap_head_mask(d_mask, t_mask)
+        comp = np.asarray(sorted(set(range(self.cfg.num_seg_cls))
+                                 - set(self.cfg.keep_target_components)))
+        swapped_sv = swap_comp_style_vector(t_sv, d_sv, jnp.asarray(comp))
+        out255 = self._synth_jit(swapped_sv, merged["mask"],
+                                 merged["hole_mask"], t_pm1)
+        return {
+            "image": out255,
+            "swapped_mask": merged["mask"],
+            "hole_mask": merged["hole_mask"],
+            "swapped_style_vectors": swapped_sv,
+        }
 
     def _swap_aligned(self, driven255, target255):
         """driven/target: (1, S, S, 3) float32 aligned crops in [0, 255].
