@@ -1,0 +1,53 @@
+"""Training CLI — `python -m e4s2024_tpu.train` (reference train.py:16-30).
+
+Parses TrainConfig flags, dumps opts.json into exp_dir, builds the data
+pipeline and the mesh, and runs the Coach.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main(argv=None):
+    import jax
+    import numpy as np
+
+    from e4s2024_tpu.config import E4SConfig, load_all_loss_params
+    from e4s2024_tpu.data.datasets import FaceMaskDataset
+    from e4s2024_tpu.parallel import make_mesh
+    from e4s2024_tpu.training import Coach
+
+    cfg = E4SConfig.from_args(argv, section="train")
+    os.makedirs(cfg.exp_dir, exist_ok=True)
+    with open(os.path.join(cfg.exp_dir, "opt.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    mesh = make_mesh()
+    loss_params = load_all_loss_params(cfg.checkpoints)
+    coach = Coach(cfg.train, loss_params=loss_params, mesh=mesh)
+    state = coach.init_state(jax.random.PRNGKey(0))
+
+    root = (cfg.data.celeba_root if cfg.data.dataset_name == "celeba"
+            else cfg.data.ffhq_root)
+    ds = FaceMaskDataset(root, mode="train", fraction=cfg.data.ds_frac,
+                         flip_p=cfg.data.flip_p)
+    batches = ds.batches(
+        cfg.train.batch_size,
+        shard=(jax.process_index(), jax.process_count()),
+    )
+
+    def log(step, metrics):
+        if step % 50 == 0:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+            print(f"[step {step}] {msg}", flush=True)
+        if step > 0 and step % 10_000 == 0:
+            coach.save_checkpoint(
+                os.path.join(cfg.exp_dir, f"ckpt_{step}"), state)
+
+    coach.fit(batches, state, steps=cfg.train.max_steps, callback=log)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
