@@ -141,7 +141,10 @@ class PTICoach:
 
         Returns (tuned variables, per-step metrics list)."""
         cfg = self.cfg
-        params, buffers = variables["params"], variables["buffers"]
+        # copy: the jitted step donates its carry, which would invalidate the
+        # caller's arrays
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        buffers = variables["buffers"]
         if self.tx is None:
             self._build_tx(params)
         if cfg.erode:
@@ -236,7 +239,8 @@ class StitchingCoach:
     def tune(self, variables, content_imgs, border_imgs, labels, style_vectors,
              steps: int | None = None):
         """content/border imgs: (F, S, S, 3) [-1,1]; labels (F, Hm, Wm) int."""
-        params, buffers = variables["params"], variables["buffers"]
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        buffers = variables["buffers"]
         if self.tx is None:
             cfg_like = TrainConfig(out_size=self.net.out_size,
                                    remaining_layer_idx=self.net.remaining_layer_idx)

@@ -1,0 +1,94 @@
+"""PTI coach, stitching coach, and W-space optimizer tests (tiny models)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from e4s2024_tpu.losses.recon import ReconCriterion
+from e4s2024_tpu.models.rgi import RGINet
+from e4s2024_tpu.training.optim import optimize_style_vectors, ranger
+from e4s2024_tpu.training.pti import (
+    PTICoach, PTIConfig, StitchingCoach, StitchingConfig,
+    eroded_label_map, foreground_mask_from_label,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    net = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    return net, v
+
+
+def test_eroded_label_map():
+    lbl = np.full((1, 32, 32), 4, np.int32)     # hair everywhere
+    lbl[0, 8:24, 8:24] = 6                       # skin square
+    out = np.asarray(eroded_label_map(jnp.asarray(lbl), radius=2))
+    assert out[0, 16, 16] == 6                   # center survives
+    assert out[0, 8, 8] == 0                     # boundary eroded to bg
+    assert out[0, 0, 0] == 0                     # hair -> bg (non-face)
+    fg = np.asarray(foreground_mask_from_label(jnp.asarray(lbl), 64))
+    assert fg.shape == (1, 64, 64, 1)
+
+
+def test_pti_reduces_loss(tiny, rng):
+    net, v = tiny
+    f = 2
+    frames = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32) * 0.1
+    cfg = PTIConfig(max_pti_steps=6, lpips_lambda=0.0, id_lambda=0.0,
+                    face_parsing_lambda=0.0, recolor_lambda=1.0,
+                    learning_rate=1e-3)
+    coach = PTICoach(net, {}, cfg)
+    tuned, hist = coach.tune(v, frames, labels, sv, frames)
+    assert len(hist) == 6
+    assert min(h["loss"] for h in hist) < hist[0]["loss"]
+    # generator moved, encoder untouched (PTI tunes G only, style MLP frozen)
+    g0 = np.asarray(v["params"]["generator"]["conv1"]["conv"]["weight"])
+    g1 = np.asarray(tuned["params"]["generator"]["conv1"]["conv"]["weight"])
+    assert not np.array_equal(g0, g1)
+    s0 = np.asarray(v["params"]["generator"]["style_1"]["kernel"])
+    s1 = np.asarray(tuned["params"]["generator"]["style_1"]["kernel"])
+    np.testing.assert_array_equal(s0, s1)
+
+
+def test_stitching_runs(tiny, rng):
+    net, v = tiny
+    f = 2
+    content = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    border = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32) * 0.1
+    cfg = StitchingConfig(max_steps=3, lpips_lambda=0.0, outer_dilation=3)
+    coach = StitchingCoach(net, {}, cfg)
+    tuned, hist = coach.tune(v, content, border, labels, sv)
+    assert len(hist) == 3
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_optimize_style_vectors_reduces_loss(tiny, rng):
+    net, v = tiny
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 0.3)
+    onehot = jax.nn.one_hot(jnp.asarray(rng.integers(0, 12, (1, 64, 64))), 12)
+    crit = ReconCriterion({}, lpips_lambda=0.0, id_lambda=0.0,
+                          face_parsing_lambda=0.0)
+    sv, losses = optimize_style_vectors(net, v, crit, img, onehot,
+                                        steps=10, lr=1e-2)
+    assert sv.shape == (1, 12, 1280)
+    assert float(losses[-1]) < float(losses[0])
+
+
+def test_ranger_constructs():
+    tx = ranger(1e-3)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    import optax
+    # lookahead wraps params in (fast, slow); just verify an update applies
+    grads = {"w": jnp.ones((4,))}
+    updates, _ = tx.update(grads, state, optax.LookaheadParams(params, params))
+    assert updates is not None
