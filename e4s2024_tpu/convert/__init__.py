@@ -9,4 +9,5 @@ from e4s2024_tpu.convert.torch_loader import (
     convert_lpips,
     convert_parsing_unet,
     convert_bisenet,
+    convert_gpen,
 )

@@ -384,3 +384,29 @@ def convert_bisenet(sd: Mapping[str, np.ndarray]) -> dict:
         "conv_out16": _bisenet_out(sd, "conv_out16"),
         "conv_out32": _bisenet_out(sd, "conv_out32"),
     }
+
+
+def convert_gpen(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map a GPEN FullGenerator checkpoint (reference swap_face_fine/gpen/
+    face_model/gpen_model.py:637, e.g. GPEN-BFR-512.pth) onto
+    GPENFullGenerator params. The decoder shares the rosinality layout, so
+    convert_generator handles it."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {
+        "generator": convert_generator(sd, "generator."),
+        "final_linear": _linear(sd, "final_linear.0"),
+        # ecd0 = ConvLayer(1x1): [0]=EqualConv2d(no bias), [1]=FusedLeakyReLU
+        "ecd_0": {
+            "conv": _conv(sd, "ecd0.0.0", "weight"),
+            "act_bias": sd["ecd0.0.1.bias"],
+        },
+    }
+    i = 1
+    while f"ecd{i}.0.1.weight" in sd:
+        # downsample ConvLayer: [0]=Blur, [1]=EqualConv2d, [2]=FusedLeakyReLU
+        params[f"ecd_{i}"] = {
+            "conv": _conv(sd, f"ecd{i}.0.1", "weight"),
+            "act_bias": sd[f"ecd{i}.0.2.bias"],
+        }
+        i += 1
+    return params

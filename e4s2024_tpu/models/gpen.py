@@ -1,0 +1,199 @@
+"""GPEN face restoration (the pipeline's default enhancer) in Flax.
+
+Port of the reference's GPEN (reference swap_face_fine/gpen/face_model/
+gpen_model.py:380 `Generator`, :637 `FullGenerator`; used at 512^2 via
+GPENInfer, gpen_demo.py:18-121): a StyleGAN2-style decoder whose "noise"
+inputs are the encoder's per-scale features, injected by CHANNEL CONCAT
+(NoiseInjection(isconcat=True), gpen_model.py:287-303) so every styled conv
+doubles its channel count.
+
+Shares the equalized-LR / modulated-conv ops with e4s2024_tpu.models.stylegan2
+(the reference's GPEN op package is a byte-identical copy of the StyleGAN2 CUDA
+ops — SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from e4s2024_tpu.models.stylegan2 import (
+    ConvLayer,
+    EqualLinear,
+    ModulatedConv,
+    pixel_norm,
+)
+from e4s2024_tpu.ops.fused_act import fused_leaky_relu
+from e4s2024_tpu.ops.resize import resize_bilinear
+from e4s2024_tpu.ops.upfirdn import make_kernel, upsample_2x
+
+
+def gpen_channels(channel_multiplier: int = 2, narrow: float = 1.0) -> dict[int, int]:
+    return {
+        4: int(512 * narrow), 8: int(512 * narrow), 16: int(512 * narrow),
+        32: int(512 * narrow),
+        64: int(256 * channel_multiplier * narrow),
+        128: int(128 * channel_multiplier * narrow),
+        256: int(64 * channel_multiplier * narrow),
+        512: int(32 * channel_multiplier * narrow),
+        1024: int(16 * channel_multiplier * narrow),
+        2048: int(8 * channel_multiplier * narrow),
+    }
+
+
+class GPENStyledConv(nn.Module):
+    """Styled conv with concat-noise injection (gpen_model.py:318-356)."""
+
+    features: int
+    upsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, style, noise):
+        out = ModulatedConv(self.features, 3, upsample=self.upsample,
+                            name="conv")(x, style)
+        nw = self.param("noise_weight", nn.initializers.zeros, (1,))
+        out = jnp.concatenate([out, nw * noise], axis=-1)
+        bias = self.param("act_bias", nn.initializers.zeros,
+                          (2 * self.features,))
+        return fused_leaky_relu(out, bias)
+
+
+class GPENToRGB(nn.Module):
+    upsample: bool = True
+
+    @nn.compact
+    def __call__(self, x, style, skip=None):
+        out = ModulatedConv(3, 1, demodulate=False, name="conv")(x, style)
+        bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
+        out = out + bias
+        if skip is not None:
+            skip = upsample_2x(skip, jnp.asarray(make_kernel([1, 3, 3, 1])))
+            out = out + skip
+        return out
+
+
+class GPENGenerator(nn.Module):
+    """StyleGAN2 decoder with concat-noise (gpen_model.py:380-556)."""
+
+    size: int = 512
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    narrow: float = 1.0
+    lr_mlp: float = 0.01
+
+    @property
+    def log_size(self):
+        return int(math.log2(self.size))
+
+    @property
+    def n_latent(self):
+        return self.log_size * 2 - 2
+
+    def setup(self):
+        ch = gpen_channels(self.channel_multiplier, self.narrow)
+        self.style_mlp = [
+            EqualLinear(self.style_dim, lr_mul=self.lr_mlp,
+                        activation="fused_lrelu", name=f"style_{i + 1}")
+            for i in range(self.n_mlp)
+        ]
+        self.const_input = self.param("input", nn.initializers.normal(1.0),
+                                      (1, 4, 4, ch[4]))
+        self.conv1 = GPENStyledConv(ch[4], name="conv1")
+        self.to_rgb1 = GPENToRGB(upsample=False, name="to_rgb1")
+        convs, to_rgbs = [], []
+        for i in range(3, self.log_size + 1):
+            out_ch = ch[2**i]
+            convs.append(GPENStyledConv(out_ch, upsample=True,
+                                        name=f"convs_{2 * (i - 3)}"))
+            convs.append(GPENStyledConv(out_ch, name=f"convs_{2 * (i - 3) + 1}"))
+            to_rgbs.append(GPENToRGB(name=f"to_rgbs_{i - 3}"))
+        self.convs = convs
+        self.to_rgbs = to_rgbs
+
+    def style(self, z):
+        w = pixel_norm(z)
+        for layer in self.style_mlp:
+            w = layer(w)
+        return w
+
+    def __call__(self, w, noise):
+        """w: (B, 512) latent (already mapped); noise: list of per-layer
+        (B, res, res, C) feature maps (encoder skips)."""
+        latent = jnp.tile(w[:, None], (1, self.n_latent, 1))
+        out = jnp.tile(self.const_input, (w.shape[0], 1, 1, 1))
+        out = self.conv1(out, latent[:, 0], noise[0])
+        skip = self.to_rgb1(out, latent[:, 1])
+        i = 1
+        for j in range(len(self.to_rgbs)):
+            out = self.convs[2 * j](out, latent[:, i], noise[2 * j + 1])
+            out = self.convs[2 * j + 1](out, latent[:, i + 1], noise[2 * j + 2])
+            skip = self.to_rgbs[j](out, latent[:, i + 2], skip=skip)
+            i += 2
+        return skip, latent
+
+
+class GPENFullGenerator(nn.Module):
+    """Encoder (ConvLayer chain to 4x4 + style head) + concat-noise decoder
+    (gpen_model.py:637-692). Input/output 512^2 RGB in [-1, 1]."""
+
+    size: int = 512
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    narrow: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        ch = gpen_channels(self.channel_multiplier, self.narrow)
+        log_size = int(math.log2(self.size))
+
+        feats = []
+        out = ConvLayer(ch[self.size], 1, name="ecd_0")(x)
+        feats.append(out)
+        for i in range(log_size, 2, -1):
+            out = ConvLayer(ch[2 ** (i - 1)], 3, downsample=True,
+                            name=f"ecd_{log_size - i + 1}")(out)
+            feats.append(out)
+        flat = out.reshape(out.shape[0], -1)
+        w = EqualLinear(self.style_dim, activation="fused_lrelu",
+                        name="final_linear")(flat)
+
+        # per-layer noise: each encoder feature used twice, coarse-to-fine,
+        # dropping the first slot (gpen_model.py:686-688)
+        doubled = [f for f in feats for _ in range(2)][::-1]
+        noise = doubled[1:]
+        gen = GPENGenerator(self.size, self.style_dim, self.n_mlp,
+                            self.channel_multiplier, self.narrow,
+                            name="generator")
+        img, latent = gen(w, noise)
+        return img, latent
+
+
+class GPENEnhancer:
+    """Aligned-crop face enhancement (the reference's GPENInfer.infer_image for
+    already-aligned faces, gpen_demo.py:18-121 with aligned path)."""
+
+    def __init__(self, params: dict, size: int = 512,
+                 model: GPENFullGenerator | None = None):
+        self.size = size
+        self.model = model or GPENFullGenerator(size=size)
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x)[0])
+
+    def enhance_aligned(self, img255: jnp.ndarray) -> jnp.ndarray:
+        """img255: (B, H, W, 3) float [0,255] -> enhanced at the same size."""
+        h = img255.shape[1]
+        x = img255 / 127.5 - 1.0
+        if h != self.size:
+            x = resize_bilinear(x, (self.size, self.size))
+        out = self._fwd(self.params, x)
+        out = jnp.clip((out + 1.0) * 127.5, 0, 255)
+        if h != self.size:
+            out = resize_bilinear(out, (h, h))
+        return out
