@@ -10,4 +10,5 @@ from e4s2024_tpu.convert.torch_loader import (
     convert_parsing_unet,
     convert_bisenet,
     convert_gpen,
+    convert_rrdbnet,
 )

@@ -410,3 +410,25 @@ def convert_gpen(sd: Mapping[str, np.ndarray]) -> dict:
         }
         i += 1
     return params
+
+
+def convert_rrdbnet(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map a RealESRGAN RRDBNet checkpoint (reference realesr/image_infer.py:39)
+    onto e4s2024_tpu RRDBNet params. Handles the 'params_ema'/'params' nesting
+    convention of basicsr checkpoints upstream of this call."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {}
+    for k in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr",
+              "conv_last"):
+        params[k] = _conv(sd, k)
+    i = 0
+    while f"body.{i}.rdb1.conv1.weight" in sd:
+        blk = {}
+        for r in (1, 2, 3):
+            blk[f"rdb{r}"] = {
+                f"conv{c}": _conv(sd, f"body.{i}.rdb{r}.conv{c}")
+                for c in range(1, 6)
+            }
+        params[f"body_{i}"] = blk
+        i += 1
+    return params
