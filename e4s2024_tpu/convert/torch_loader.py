@@ -432,3 +432,87 @@ def convert_rrdbnet(sd: Mapping[str, np.ndarray]) -> dict:
         params[f"body_{i}"] = blk
         i += 1
     return params
+
+
+def _spectral_conv(sd, name):
+    """Effective conv weight of a torch spectral_norm'd conv at eval time:
+    W / sigma with sigma = u^T W_mat v (stored power-iteration vectors)."""
+    if f"{name}.weight_orig" in sd:
+        w = sd[f"{name}.weight_orig"]
+        u = sd[f"{name}.weight_u"]
+        v = sd[f"{name}.weight_v"]
+        sigma = float(u @ (w.reshape(w.shape[0], -1) @ v))
+        w = w / sigma
+    else:
+        w = sd[f"{name}.weight"]
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _spade(sd, name):
+    return {
+        "mlp_shared": _conv(sd, f"{name}.mlp_shared.1"),
+        "mlp_gamma": _conv(sd, f"{name}.mlp_gamma"),
+        "mlp_beta": _conv(sd, f"{name}.mlp_beta"),
+    }
+
+
+def _spade_resblock(sd, name, learned_shortcut):
+    out = {
+        "norm_0": _spade(sd, f"{name}.norm_0"),
+        "norm_1": _spade(sd, f"{name}.norm_1"),
+        "conv_0": _spectral_conv(sd, f"{name}.conv_0"),
+        "conv_1": _spectral_conv(sd, f"{name}.conv_1"),
+    }
+    if learned_shortcut:
+        out["norm_s"] = _spade(sd, f"{name}.norm_s")
+        out["conv_s"] = _spectral_conv(sd, f"{name}.conv_s")
+    return out
+
+
+def _unet_res(sd, name, has_sqz):
+    out = {
+        "bn1": _bn(sd, f"{name}.bn1"),
+        "conv1": _conv(sd, f"{name}.conv1"),
+        "bn2": _bn(sd, f"{name}.bn2"),
+        "conv2": _conv(sd, f"{name}.conv2"),
+    }
+    if has_sqz:
+        out["sqz"] = _conv(sd, f"{name}.sqz_layer")
+    return out
+
+
+def convert_blender(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map the Blender recolor checkpoint (reference swap_face_fine/Blender/
+    model_center/blener.py:7, latest_netG.pth) onto e4s2024_tpu Blender params,
+    pre-normalizing spectral-norm weights."""
+    sd = strip_module_prefix(sd)
+    fpn = {}
+    for i in range(1, 6):
+        fpn[f"layer{i}"] = _spectral_conv(sd, f"referencer.FPN.layer{i}.0")
+    fpn["head_0"] = _spade_resblock(sd, "referencer.FPN.head_0", False)
+    fpn["G_middle_0"] = _spade_resblock(sd, "referencer.FPN.G_middle_0", False)
+    fpn["G_middle_1"] = _spade_resblock(sd, "referencer.FPN.G_middle_1", True)
+
+    unet = {
+        "input_encoder_layer": {
+            "conv1": _conv(sd, "unet.input_encoder_layer.conv1"),
+            "bn1": _bn(sd, "unet.input_encoder_layer.bn1"),
+            "conv2": _conv(sd, "unet.input_encoder_layer.conv2"),
+            "sqz": _conv(sd, "unet.input_encoder_layer.sqz_layer"),
+        },
+        "res_en_layer2": _unet_res(sd, "unet.res_en_layer2", True),
+        "res_en_layer3": _unet_res(sd, "unet.res_en_layer3", True),
+        "res_bridge_layer": _unet_res(sd, "unet.res_bridge_layer", True),
+        "res_de_layer3": _unet_res(sd, "unet.res_de_layer3", True),
+        "res_de_layer2": _unet_res(sd, "unet.res_de_layer2", True),
+        "res_de_layer1": _unet_res(sd, "unet.res_de_layer1", True),
+        "output_decoder_layer": _conv(sd, "unet.output_decoder_layer.0"),
+    }
+    return {
+        "FPN": fpn,
+        "unet": unet,
+        "trainable_tao": sd["referencer.trainable_tao"].reshape(()),
+    }
