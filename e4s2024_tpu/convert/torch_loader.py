@@ -516,3 +516,93 @@ def convert_blender(sd: Mapping[str, np.ndarray]) -> dict:
         "unet": unet,
         "trainable_tao": sd["referencer.trainable_tao"].reshape(()),
     }
+
+
+def _groupnorm(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _vq_block(sd, tname, kind, fname):
+    if kind in ("conv", "conv_out"):
+        return {fname: _conv(sd, tname)}
+    if kind == "res":
+        out = {
+            "norm1": _groupnorm(sd, f"{tname}.norm1"),
+            "conv1": _conv(sd, f"{tname}.conv1"),
+            "norm2": _groupnorm(sd, f"{tname}.norm2"),
+            "conv2": _conv(sd, f"{tname}.conv2"),
+        }
+        if f"{tname}.conv_out.weight" in sd:
+            out["conv_out"] = _conv(sd, f"{tname}.conv_out")
+        return {fname: out}
+    if kind == "attn":
+        return {fname: {
+            "norm": _groupnorm(sd, f"{tname}.norm"),
+            "q": _conv(sd, f"{tname}.q"), "k": _conv(sd, f"{tname}.k"),
+            "v": _conv(sd, f"{tname}.v"),
+            "proj_out": _conv(sd, f"{tname}.proj_out"),
+        }}
+    if kind in ("down", "up"):
+        return {fname: {"conv": _conv(sd, f"{tname}.conv")}}
+    if kind == "norm":
+        return {fname: _groupnorm(sd, tname)}
+    raise ValueError(kind)
+
+
+def convert_codeformer(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map a CodeFormer checkpoint (reference archs/codeformer_arch.py:161)
+    onto e4s2024_tpu CodeFormer params."""
+    from e4s2024_tpu.models.codeformer import (
+        encoder_plan, generator_plan, FUSE_ENCODER_BLOCK,
+    )
+
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {"encoder": {}, "generator": {}}
+    for i, (kind, _) in enumerate(encoder_plan()):
+        params["encoder"].update(
+            _vq_block(sd, f"encoder.blocks.{i}", kind, f"blocks_{i}"))
+    for i, (kind, _) in enumerate(generator_plan()):
+        params["generator"].update(
+            _vq_block(sd, f"generator.blocks.{i}", kind, f"blocks_{i}"))
+
+    params["codebook"] = sd["quantize.embedding.weight"]
+    params["position_emb"] = sd["position_emb"]
+    params["feat_emb"] = _linear(sd, "feat_emb")
+    n = 0
+    while f"ft_layers.{n}.self_attn.in_proj_weight" in sd:
+        t = f"ft_layers.{n}"
+        params[f"ft_layers_{n}"] = {
+            "norm1": {"scale": sd[f"{t}.norm1.weight"],
+                      "bias": sd[f"{t}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{t}.norm2.weight"],
+                      "bias": sd[f"{t}.norm2.bias"]},
+            "qkv_kernel": np.ascontiguousarray(
+                sd[f"{t}.self_attn.in_proj_weight"].T),
+            "qkv_bias": sd[f"{t}.self_attn.in_proj_bias"],
+            "out_proj": _linear(sd, f"{t}.self_attn.out_proj"),
+            "linear1": _linear(sd, f"{t}.linear1"),
+            "linear2": _linear(sd, f"{t}.linear2"),
+        }
+        n += 1
+    params["idx_norm"] = {"scale": sd["idx_pred_layer.0.weight"],
+                          "bias": sd["idx_pred_layer.0.bias"]}
+    params["idx_pred"] = _linear(sd, "idx_pred_layer.1")
+    for size in (32, 64, 128, 256):
+        if f"fuse_convs_dict.{size}.encode_enc.conv1.weight" in sd:
+            t = f"fuse_convs_dict.{size}"
+            enc = {
+                "norm1": _groupnorm(sd, f"{t}.encode_enc.norm1"),
+                "conv1": _conv(sd, f"{t}.encode_enc.conv1"),
+                "norm2": _groupnorm(sd, f"{t}.encode_enc.norm2"),
+                "conv2": _conv(sd, f"{t}.encode_enc.conv2"),
+            }
+            if f"{t}.encode_enc.conv_out.weight" in sd:
+                enc["conv_out"] = _conv(sd, f"{t}.encode_enc.conv_out")
+            params[f"fuse_{size}"] = {
+                "encode_enc": enc,
+                "scale_0": _conv(sd, f"{t}.scale.0"),
+                "scale_2": _conv(sd, f"{t}.scale.2"),
+                "shift_0": _conv(sd, f"{t}.shift.0"),
+                "shift_2": _conv(sd, f"{t}.shift.2"),
+            }
+    return params

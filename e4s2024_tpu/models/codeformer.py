@@ -1,0 +1,288 @@
+"""CodeFormer face restoration (VQGAN + transformer) in Flax.
+
+Port of the reference's CodeFormer (reference swap_face_fine/archs/
+codeformer_arch.py:161, vqgan_arch.py; used as the alternative enhancer via
+`CodeFormerInfer`, inference_codeformer.py): a VQ autoencoder at 512^2
+(nf 64, ch_mult [1,2,2,4,4,8], codebook 1024x256) whose 16^2 latents are
+predicted by a 9-layer pre-LN transformer over the LQ features; controllable
+fidelity via SFT fusion of encoder features into the decoder (weight w).
+
+Block indices mirror the reference exactly so the fuse taps
+(fuse_encoder_block / fuse_generator_block, codeformer_arch.py:196-199) align.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e4s2024_tpu.ops.resize import resize_bilinear, resize_nearest
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+def vq_norm(name):
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
+
+
+class VQResBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = vq_norm("norm1")(x)
+        h = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(swish(h))
+        h = vq_norm("norm2")(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(swish(h))
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), name="conv_out")(x)
+        return x + h
+
+
+class VQAttnBlock(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hn = vq_norm("norm")(x)
+        q = nn.Conv(c, (1, 1), name="q")(hn).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), name="k")(hn).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), name="v")(hn).reshape(b, h * w, c)
+        att = jax.nn.softmax(jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5), -1)
+        out = jnp.einsum("bqk,bkc->bqc", att, v).reshape(b, h, w, c)
+        return x + nn.Conv(c, (1, 1), name="proj_out")(out)
+
+
+class VQDownsample(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(x.shape[-1], (3, 3), strides=2, padding="VALID",
+                       name="conv")(x)
+
+
+class VQUpsample(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = resize_nearest(x, (2 * x.shape[1], 2 * x.shape[2]))
+        return nn.Conv(x.shape[-1], (3, 3), padding=1, name="conv")(x)
+
+
+def encoder_plan(nf=64, ch_mult=(1, 2, 2, 4, 4, 8), num_res=2,
+                 resolution=512, attn_res=(16,), emb_dim=256):
+    """(kind, features) per block, matching vqgan_arch.py Encoder ordering."""
+    plan = [("conv", nf)]
+    curr = resolution
+    in_ch = nf
+    for i, m in enumerate(ch_mult):
+        out_ch = nf * m
+        for _ in range(num_res):
+            plan.append(("res", out_ch))
+            in_ch = out_ch
+            if curr in attn_res:
+                plan.append(("attn", in_ch))
+        if i != len(ch_mult) - 1:
+            plan.append(("down", in_ch))
+            curr //= 2
+    plan += [("res", in_ch), ("attn", in_ch), ("res", in_ch),
+             ("norm", in_ch), ("conv_out", emb_dim)]
+    return plan
+
+
+def generator_plan(nf=64, ch_mult=(1, 2, 2, 4, 4, 8), num_res=2,
+                   resolution=512, attn_res=(16,)):
+    block_in = nf * ch_mult[-1]
+    curr = resolution // 2 ** (len(ch_mult) - 1)
+    plan = [("conv", block_in), ("res", block_in), ("attn", block_in),
+            ("res", block_in)]
+    in_ch = block_in
+    for i in reversed(range(len(ch_mult))):
+        out_ch = nf * ch_mult[i]
+        for _ in range(num_res):
+            plan.append(("res", out_ch))
+            in_ch = out_ch
+            if curr in attn_res:
+                plan.append(("attn", in_ch))
+        if i != 0:
+            plan.append(("up", in_ch))
+            curr *= 2
+    plan += [("norm", in_ch), ("conv_out", 3)]
+    return plan
+
+
+class VQBlocks(nn.Module):
+    """A torch-index-compatible sequence of VQGAN blocks with taps."""
+
+    plan: tuple
+
+    def setup(self):
+        mods = []
+        for i, (kind, feats) in enumerate(self.plan):
+            name = f"blocks_{i}"
+            if kind in ("conv", "conv_out"):
+                mods.append(nn.Conv(feats, (3, 3), padding=1, name=name))
+            elif kind == "res":
+                mods.append(VQResBlock(feats, name=name))
+            elif kind == "attn":
+                mods.append(VQAttnBlock(name=name))
+            elif kind == "down":
+                mods.append(VQDownsample(name=name))
+            elif kind == "up":
+                mods.append(VQUpsample(name=name))
+            elif kind == "norm":
+                mods.append(vq_norm(name))
+        self.mods = mods
+
+    def __call__(self, x, taps=(), fuse_fns=None):
+        """Run all blocks; collect outputs at `taps`; apply fuse_fns[i] AFTER
+        block i when provided."""
+        tapped = {}
+        for i, (kind, _) in enumerate(self.plan):
+            x = self.mods[i](x)
+            if kind == "norm":
+                x = swish(x)
+            if i in taps:
+                tapped[i] = x
+            if fuse_fns and i in fuse_fns:
+                x = fuse_fns[i](x)
+        return x, tapped
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN self-attention layer (codeformer_arch.py:99)."""
+
+    dim: int = 512
+    heads: int = 8
+    dim_mlp: int = 1024
+
+    @nn.compact
+    def __call__(self, x, pos):
+        # x: (B, T, C); pos added to q/k only
+        h = nn.LayerNorm(name="norm1")(x)
+        qk = h + pos
+        b, t, c = x.shape
+        qkv_k = self.param("qkv_kernel", nn.initializers.xavier_uniform(),
+                           (c, 3 * c))
+        qkv_b = self.param("qkv_bias", nn.initializers.zeros, (3 * c,))
+        # q/k from pos-embedded tokens, v from the plain normed tokens
+        # (torch MHA call with value=tgt2, codeformer_arch.py:125)
+        q = qk @ qkv_k[:, :c] + qkv_b[:c]
+        k = qk @ qkv_k[:, c:2 * c] + qkv_b[c:2 * c]
+        v = h @ qkv_k[:, 2 * c:] + qkv_b[2 * c:]
+        hd = c // self.heads
+
+        def split(z):
+            return z.reshape(b, t, self.heads, hd).transpose(0, 2, 1, 3)
+
+        att = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) / math.sqrt(hd), -1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, split(v))
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        out = nn.Dense(c, name="out_proj")(out)
+        x = x + out
+        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.Dense(self.dim_mlp, name="linear1")(h)
+        h = nn.Dense(c, name="linear2")(jax.nn.gelu(h, approximate=False))
+        return x + h
+
+
+class FuseSFT(nn.Module):
+    """Fuse_sft_block (codeformer_arch.py:136)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, enc_feat, dec_feat, w):
+        h = VQResBlock(self.features, name="encode_enc")(
+            jnp.concatenate([enc_feat, dec_feat], axis=-1))
+
+        def head(v, name):
+            v = nn.Conv(self.features, (3, 3), padding=1, name=f"{name}_0")(v)
+            v = jnp.where(v >= 0, v, 0.2 * v)
+            return nn.Conv(self.features, (3, 3), padding=1, name=f"{name}_2")(v)
+
+        scale = head(h, "scale")
+        shift = head(h, "shift")
+        return dec_feat + w * (dec_feat * scale + shift)
+
+
+# torch block indices for the 512 config (codeformer_arch.py:196-199)
+FUSE_ENCODER_BLOCK = {512: 2, 256: 5, 128: 8, 64: 11, 32: 14, 16: 18}
+FUSE_GENERATOR_BLOCK = {16: 6, 32: 9, 64: 12, 128: 15, 256: 18, 512: 21}
+
+
+class CodeFormer(nn.Module):
+    dim_embd: int = 512
+    n_head: int = 8
+    n_layers: int = 9
+    codebook_size: int = 1024
+    latent_size: int = 256
+    connect_list: tuple = (32, 64, 128, 256)
+
+    @nn.compact
+    def __call__(self, x, w: float = 0.0):
+        """x: (B, 512, 512, 3) in [-1, 1]. Returns (image, logits, lq_feat)."""
+        b = x.shape[0]
+        enc = VQBlocks(tuple(encoder_plan()), name="encoder")
+        taps = tuple(FUSE_ENCODER_BLOCK[s] for s in self.connect_list)
+        lq_feat, enc_feats = enc(x, taps=taps)
+        idx_to_size = {FUSE_ENCODER_BLOCK[s]: s for s in self.connect_list}
+        enc_by_size = {idx_to_size[i]: f for i, f in enc_feats.items()}
+
+        pos = self.param("position_emb", nn.initializers.zeros,
+                         (self.latent_size, self.dim_embd))
+        feat = nn.Dense(self.dim_embd, name="feat_emb")(
+            lq_feat.reshape(b, -1, lq_feat.shape[-1]))
+        q = feat
+        for i in range(self.n_layers):
+            q = TransformerLayer(self.dim_embd, self.n_head,
+                                 2 * self.dim_embd,
+                                 name=f"ft_layers_{i}")(q, pos[None])
+        q = nn.LayerNorm(name="idx_norm")(q)
+        logits = nn.Dense(self.codebook_size, use_bias=False,
+                          name="idx_pred")(q)  # (B, 256, 1024)
+
+        codebook = self.param("codebook", nn.initializers.uniform(1e-3),
+                              (self.codebook_size, 256))
+        idx = jnp.argmax(logits, axis=-1)
+        quant = codebook[idx].reshape(b, 16, 16, 256)
+
+        # with w == 0 the SFT residual is exactly zero, so applying the fuse
+        # unconditionally matches the reference's `if w > 0` skip
+        fuse_fns = {}
+        for s in self.connect_list:
+            gi = FUSE_GENERATOR_BLOCK[s]
+            fuse = FuseSFT(enc_by_size[s].shape[-1], name=f"fuse_{s}")
+            fuse_fns[gi] = (lambda fuse=fuse, s=s:
+                            lambda dec: fuse(enc_by_size[s], dec, w))()
+
+        gen = VQBlocks(tuple(generator_plan()), name="generator")
+        out, _ = gen(quant, fuse_fns=fuse_fns)
+        return out, logits, lq_feat
+
+
+class CodeFormerEnhancer:
+    """Aligned-crop restoration (reference inference_codeformer.py /
+    CodeFormerInfer): [-1,1] at 512^2, fidelity weight w (default 0.5)."""
+
+    def __init__(self, params: dict, w: float = 0.5):
+        self.model = CodeFormer()
+        self.params = params
+        self.w = w
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x, self.w)[0])
+
+    def enhance_aligned(self, img255: jnp.ndarray) -> jnp.ndarray:
+        h = img255.shape[1]
+        x = jnp.asarray(img255, jnp.float32) / 127.5 - 1.0
+        if h != 512:
+            x = resize_bilinear(x, (512, 512))
+        out = jnp.clip((self._fwd(self.params, x) + 1.0) * 127.5, 0, 255)
+        if h != 512:
+            out = resize_bilinear(out, (h, h))
+        return out
