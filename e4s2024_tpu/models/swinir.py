@@ -1,0 +1,202 @@
+"""SwinIR x4 real-world super-resolution in Flax.
+
+Port of the reference's SwinIR-M real_sr config (reference
+swap_face_fine/SwinIR/models/network_swinir.py:618; used via `SwinIRInfer`,
+image_infer.py:39-84: window 8, embed 180, depths/heads [6]x6, mlp_ratio 2,
+'nearest+conv' upsampler, scale 4): residual Swin transformer blocks over
+shifted 8x8 windows with relative position bias.
+
+Layout NHWC; the window partition/shift is pure reshape/roll, so XLA maps the
+attention onto the MXU as batched (64 x 64) matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e4s2024_tpu.ops.resize import resize_nearest
+
+_RGB_MEAN = jnp.asarray([0.4488, 0.4371, 0.4040])
+
+
+def _rel_pos_index(w: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: (nW*B, w*w, C); mask: (nW, w*w, w*w) or None."""
+        bnw, n, c = x.shape
+        hd = c // self.heads
+        qkv = nn.Dense(3 * c, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
+
+        table = self.param(
+            "rel_bias_table", nn.initializers.normal(0.02),
+            ((2 * self.window - 1) ** 2, self.heads))
+        idx = jnp.asarray(_rel_pos_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(n, n, self.heads)
+        att = att + jnp.transpose(bias, (2, 0, 1))[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            att = att.reshape(bnw // nw, nw, self.heads, n, n) \
+                + mask[None, :, None]
+            att = att.reshape(bnw, self.heads, n, n)
+        att = jax.nn.softmax(att, -1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+def _window_partition(x, w):
+    b, h, ww, c = x.shape
+    x = x.reshape(b, h // w, w, ww // w, w, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, w * w, c)
+
+
+def _window_reverse(x, w, h, ww):
+    b = x.shape[0] // ((h // w) * (ww // w))
+    x = x.reshape(b, h // w, ww // w, w, w, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, ww, -1)
+
+
+def _shift_mask(h, w, window, shift) -> np.ndarray:
+    img = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    # pure numpy (this runs at trace time)
+    win = img.reshape(h // window, window, w // window, window)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int = 8
+    shift: int = 0
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(name="norm1")(x)
+        if self.shift > 0:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_mask(h, w, self.window, self.shift))
+        else:
+            mask = None
+        xw = _window_partition(x, self.window)
+        xw = WindowAttention(self.dim, self.window, self.heads, name="attn")(
+            xw, mask)
+        x = _window_reverse(xw, self.window, h, w)
+        if self.shift > 0:
+            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        x = shortcut + x
+        h2 = nn.LayerNorm(name="norm2")(x)
+        h2 = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h2)
+        h2 = nn.Dense(self.dim, name="fc2")(jax.nn.gelu(h2, approximate=False))
+        return x + h2
+
+
+class RSTB(nn.Module):
+    dim: int
+    depth: int
+    heads: int
+    window: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        for i in range(self.depth):
+            x = SwinBlock(self.dim, self.heads, self.window,
+                          shift=0 if i % 2 == 0 else self.window // 2,
+                          name=f"blocks_{i}")(x)
+        x = nn.Conv(self.dim, (3, 3), padding=1, name="conv")(x)
+        return x + res
+
+
+class SwinIR(nn.Module):
+    """real_sr M config; input (B, H, W, 3) in [0, 1], H/W multiples of 8."""
+
+    embed_dim: int = 180
+    depths: tuple = (6, 6, 6, 6, 6, 6)
+    heads: tuple = (6, 6, 6, 6, 6, 6)
+    window: int = 8
+    scale: int = 4
+    num_feat: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = x - _RGB_MEAN
+        feat = nn.Conv(self.embed_dim, (3, 3), padding=1, name="conv_first")(x)
+        # patch_embed norm (patch_norm=True in the reference config)
+        body = nn.LayerNorm(name="patch_norm")(feat)
+        for i, (d, nh) in enumerate(zip(self.depths, self.heads)):
+            body = RSTB(self.embed_dim, d, nh, self.window,
+                        name=f"layers_{i}")(body)
+        body = nn.LayerNorm(name="norm")(body)
+        body = nn.Conv(self.embed_dim, (3, 3), padding=1,
+                       name="conv_after_body")(body)
+        feat = feat + body
+
+        def lrelu(v):
+            return jnp.where(v >= 0, v, 0.2 * v)
+
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1,
+                             name="conv_before_upsample")(feat))
+        h, w = feat.shape[1], feat.shape[2]
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_up1")(
+            resize_nearest(feat, (2 * h, 2 * w))))
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_up2")(
+            resize_nearest(feat, (4 * h, 4 * w))))
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1,
+                             name="conv_hr")(feat))
+        out = nn.Conv(3, (3, 3), padding=1, name="conv_last")(feat)
+        return out + _RGB_MEAN
+
+
+class SwinIRUpscaler:
+    """x4 upscale of [0,255] images with window-size padding (reference
+    image_infer.py:50-66)."""
+
+    def __init__(self, params: dict, model: SwinIR | None = None):
+        self.model = model or SwinIR()
+        self.params = params
+        self._fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+
+    def upscale(self, img255: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(img255, jnp.float32) / 255.0
+        b, h, w, _ = x.shape
+        ws = self.model.window
+        hp = (h + ws - 1) // ws * ws - h
+        wp = (w + ws - 1) // ws * ws - w
+        if hp or wp:
+            x = jnp.concatenate([x, jnp.flip(x[:, -hp:], 1)], 1) if hp else x
+            x = jnp.concatenate([x, jnp.flip(x[:, :, -wp:], 2)], 2) if wp else x
+        out = self._fwd(self.params, x)
+        out = out[:, : h * self.model.scale, : w * self.model.scale]
+        return jnp.clip(out * 255.0, 0, 255)
