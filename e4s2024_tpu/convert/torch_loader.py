@@ -606,3 +606,47 @@ def convert_codeformer(sd: Mapping[str, np.ndarray]) -> dict:
                 "shift_2": _conv(sd, f"{t}.shift.2"),
             }
     return params
+
+
+def _layernorm(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def convert_swinir(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map a SwinIR real_sr checkpoint (reference SwinIR/models/
+    network_swinir.py:618, 003_realSR_..._GAN.pth ['params_ema']) onto
+    e4s2024_tpu SwinIR params."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {
+        "conv_first": _conv(sd, "conv_first"),
+        "patch_norm": _layernorm(sd, "patch_embed.norm"),
+        "norm": _layernorm(sd, "norm"),
+        "conv_after_body": _conv(sd, "conv_after_body"),
+        "conv_before_upsample": _conv(sd, "conv_before_upsample.0"),
+        "conv_up1": _conv(sd, "conv_up1"),
+        "conv_up2": _conv(sd, "conv_up2"),
+        "conv_hr": _conv(sd, "conv_hr"),
+        "conv_last": _conv(sd, "conv_last"),
+    }
+    li = 0
+    while f"layers.{li}.conv.weight" in sd:
+        t = f"layers.{li}"
+        layer = {"conv": _conv(sd, f"{t}.conv")}
+        bi = 0
+        while f"{t}.residual_group.blocks.{bi}.norm1.weight" in sd:
+            bt = f"{t}.residual_group.blocks.{bi}"
+            layer[f"blocks_{bi}"] = {
+                "norm1": _layernorm(sd, f"{bt}.norm1"),
+                "norm2": _layernorm(sd, f"{bt}.norm2"),
+                "attn": {
+                    "rel_bias_table": sd[f"{bt}.attn.relative_position_bias_table"],
+                    "qkv": _linear(sd, f"{bt}.attn.qkv"),
+                    "proj": _linear(sd, f"{bt}.attn.proj"),
+                },
+                "fc1": _linear(sd, f"{bt}.mlp.fc1"),
+                "fc2": _linear(sd, f"{bt}.mlp.fc2"),
+            }
+            bi += 1
+        params[f"layers_{li}"] = layer
+        li += 1
+    return params
