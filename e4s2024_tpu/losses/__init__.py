@@ -6,4 +6,5 @@ from e4s2024_tpu.losses.losses import (
     feature_cosine_loss,
     id_loss_crop,
     multiscale_lpips,
+    g_path_lengths_penalty,
 )

@@ -87,3 +87,18 @@ def multiscale_lpips(lpips_apply: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarr
         b = adaptive_avg_pool2d(y, (s, s))
         total = total + lpips_apply(a, b)
     return total
+
+
+def g_path_lengths_penalty(grads: jnp.ndarray, mean_path_length: jnp.ndarray,
+                           decay: float = 0.01):
+    """StyleGAN2 path-length regularizer (reference adv_loss.py:43-59; unused
+    by the reference coach but part of the loss inventory).
+
+    Given grads = d<fake, noise>/dlatents (B, n_latent, 512) — obtained via
+    jax.grad of sum(generator(latents) * noise) with noise ~ N(0, 1/(H*W)) —
+    compute the penalty and the EMA'd mean path length."""
+    path_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grads), axis=2), axis=1))
+    path_mean = mean_path_length + decay * (jnp.mean(path_lengths)
+                                            - mean_path_length)
+    penalty = jnp.mean(jnp.square(path_lengths - path_mean))
+    return penalty, jax.lax.stop_gradient(path_mean), path_lengths
