@@ -1,0 +1,164 @@
+"""Full-featured image face swap: reenactment + enhancement + recolor + inpaint.
+
+The complete counterpart of the reference's `FaceSwap.face_swap_pipeline`
+(reference Face_swap_with_two_imgs.py:796, SURVEY.md §3.2), composing the
+whole model zoo around the core FaceSwapper:
+
+  1-2. alignment + (pose-gap-gated) faceVid2Vid reenactment   (:645,:688)
+  3.   enhancement of the driven face (gpen default)          (:836,:606-643)
+  4-7. parse -> invert -> mask/style merge -> synthesis       (core FaceSwapper)
+  8.   recolor: Blender at 256 + RealESRGAN upscale, edge-aware blend (:522)
+  9.   compositing (+ GCFSR inpainting of the hole)           (:159-293)
+  10.  perspective paste-back                                  (:264-279)
+
+Every aux model is optional: absent components degrade to identity, so the
+PR1 config (enhancers off) runs with just the core models.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e4s2024_tpu.ops.blend import blend_with_mask, sobel_edge, soft_erosion
+from e4s2024_tpu.ops.resize import resize_bilinear, resize_nearest
+from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
+from e4s2024_tpu.utils.image import from_pm1, to_pm1
+
+
+@dataclass
+class SwapComponents:
+    """Pluggable aux models (each may be None)."""
+
+    enhancers: dict = field(default_factory=dict)  # name -> enhance_aligned fn
+    pose_driver: Any = None        # FaceVid2VidDriver-like .drive(src01, tgt01)
+    pose_estimator: Any = None     # PoseEstimator-like .pose_gap(a, b)
+    recolorer: Any = None          # BlenderRecolorer-like .recolor(...)
+    upscaler: Any = None           # RealESRGANUpscaler-like .upscale(img255)
+    inpainter: Any = None          # FaceInpainter-like .inpaint(img255, hole)
+
+
+@dataclass
+class FullSwapConfig:
+    pose_gap_threshold: float = 20.0   # degrees; reenact only above this gap
+    enhancement_mode: str = "gpen"     # reference fixes driven enhance to gpen
+    ct_mode: str = "blender"           # "blender" | lct/rct/mkl/sot/... | "none"
+    face_inpainting: bool = False
+    blend_up_ratio: float = 0.75       # edge-aware recolor blend (:910-924)
+
+
+class FullFaceSwapPipeline:
+    def __init__(self, swapper: FaceSwapper,
+                 components: SwapComponents = SwapComponents(),
+                 cfg: FullSwapConfig = FullSwapConfig()):
+        self.swapper = swapper
+        self.comp = components
+        self.cfg = cfg
+
+    # ---------------- stages ----------------
+
+    def _pose_align(self, s_crop255: np.ndarray, t_crop255: np.ndarray):
+        """Stage 2: drive the source toward the target pose when the gap is
+        large (reference :688-743)."""
+        if self.comp.pose_driver is None:
+            return s_crop255
+        if self.comp.pose_estimator is not None:
+            gap = self.comp.pose_estimator.pose_gap(
+                jnp.asarray(s_crop255[None]), jnp.asarray(t_crop255[None]))
+            if gap < self.cfg.pose_gap_threshold:
+                return s_crop255
+        s256 = np.asarray(resize_bilinear(
+            jnp.asarray(s_crop255[None], jnp.float32) / 255.0, (256, 256)))
+        t256 = np.asarray(resize_bilinear(
+            jnp.asarray(t_crop255[None], jnp.float32) / 255.0, (256, 256)))
+        driven = self.comp.pose_driver.drive(jnp.asarray(s256),
+                                             jnp.asarray(t256))
+        h = s_crop255.shape[0]
+        out = resize_bilinear(driven, (h, h)) * 255.0
+        return np.asarray(out[0])
+
+    def _enhance(self, img255: np.ndarray, mode: str | None = None):
+        """Stage 3: face restoration (reference :606-643)."""
+        mode = mode or self.cfg.enhancement_mode
+        fn = self.comp.enhancers.get(mode)
+        if fn is None:
+            return img255
+        return np.asarray(fn(jnp.asarray(img255[None], jnp.float32)))[0]
+
+    def _recolor(self, swapped255, target255, d_label19, t_label19):
+        """Stage 8: Blender 256 recolor + x4 upscale + edge-aware blend
+        (reference :522-560, :910-924) or classical color transfer."""
+        cfg = self.cfg
+        if cfg.ct_mode == "none":
+            return swapped255
+        if cfg.ct_mode == "blender" and self.comp.recolorer is not None:
+            rec = self.comp.recolorer.recolor(
+                jnp.asarray(swapped255[None], jnp.float32),
+                jnp.asarray(target255[None], jnp.float32),
+                jnp.asarray(d_label19[None]), jnp.asarray(t_label19[None]))
+            if self.comp.upscaler is not None and rec.shape[1] * 4 <= swapped255.shape[0]:
+                rec = self.comp.upscaler.upscale(rec)
+            h = swapped255.shape[0]
+            rec = resize_bilinear(rec, (h, h))
+            # edge-aware blend: keep original high-frequency edges
+            edge = sobel_edge(jnp.asarray(swapped255[None], jnp.float32))
+            edge = jnp.clip(edge / 255.0, 0.0, 1.0)
+            out = blend_with_mask(rec[0], jnp.asarray(swapped255, jnp.float32),
+                                  edge[0], up_ratio=cfg.blend_up_ratio)
+            return np.asarray(jnp.clip(out, 0, 255))
+        # classical modes
+        from e4s2024_tpu.ops.color import skin_color_transfer
+
+        out = skin_color_transfer(swapped255 / 255.0, target255 / 255.0,
+                                  cfg.ct_mode)
+        return (out * 255.0).astype(np.float32)
+
+    def _inpaint(self, img255: np.ndarray, hole_mask: np.ndarray):
+        """Stage 9b: GCFSR hole inpainting + soft blend (reference :223-258)."""
+        if not self.cfg.face_inpainting or self.comp.inpainter is None:
+            return img255
+        out = self.comp.inpainter.inpaint(
+            jnp.asarray(img255[None], jnp.float32), jnp.asarray(hole_mask[None]))
+        mask = jnp.asarray(hole_mask, jnp.float32)[None, ..., None]
+        mask = resize_bilinear(mask, img255.shape[:2])
+        soft, _ = soft_erosion(mask)
+        blended = blend_with_mask(jnp.asarray(img255, jnp.float32), out[0],
+                                  soft[0], 1.0)
+        return np.asarray(jnp.clip(blended, 0, 255))
+
+    # ---------------- full pipeline ----------------
+
+    def __call__(self, source_crop255: np.ndarray, target_crop255: np.ndarray,
+                 verbose: bool = False) -> dict:
+        """Swap on pre-aligned crops (use FaceSwapper.swap for full frames).
+
+        Returns dict with the final image and intermediates."""
+        driven = self._pose_align(source_crop255, target_crop255)
+        driven = self._enhance(driven, "gpen" if "gpen" in self.comp.enhancers
+                               else None)
+
+        result = self.swapper.swap_aligned(driven[None].astype(np.float32),
+                                           target_crop255[None].astype(np.float32))
+        swapped = np.asarray(result["image"][0])
+
+        # 19-class labels for the recolorer
+        if self.cfg.ct_mode == "blender" and self.comp.recolorer is not None:
+            d19 = np.asarray(self.swapper._parse19(
+                jnp.asarray(driven[None], jnp.float32) / 255.0))[0]
+            t19 = np.asarray(self.swapper._parse19(
+                jnp.asarray(target_crop255[None], jnp.float32) / 255.0))[0]
+            swapped = self._recolor(swapped, target_crop255, d19, t19)
+        elif self.cfg.ct_mode not in ("none", "blender"):
+            swapped = self._recolor(swapped, target_crop255, None, None)
+
+        swapped = self._inpaint(swapped, np.asarray(result["hole_mask"]))
+        return {
+            "image": np.clip(swapped, 0, 255).astype(np.uint8),
+            "driven": driven,
+            "swapped_mask": np.asarray(result["swapped_mask"]),
+            "hole_mask": np.asarray(result["hole_mask"]),
+        }

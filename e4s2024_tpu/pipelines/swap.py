@@ -99,8 +99,9 @@ class FaceSwapper:
 
     # ---------------- jitted core ----------------
 
-    def _parse12(self, img01: jnp.ndarray) -> jnp.ndarray:
-        """(1, S, S, 3) in [0,1] -> (1, 512, 512) 12-class label map."""
+    def _parse19(self, img01: jnp.ndarray) -> jnp.ndarray:
+        """(B, S, S, 3) in [0,1] -> (B, 512, 512) 19-class label map
+        (FaceParser preprocessing, reference face_parsing_demo.py:153-171)."""
         h = img01.shape[1]
         if h > 512:
             x = jnp.clip(bicubic_downsample(img01, h // 512), 0.0, 1.0)
@@ -110,8 +111,11 @@ class FaceSwapper:
             x = img01
         x = (x - _SEG_MEAN) / _SEG_STD
         logits, _, _ = self.bisenet.apply({"params": self.bisenet_params}, x)
-        seg19 = jnp.argmax(logits, axis=-1)
-        return jnp.asarray(_FFHQ_TO_12)[seg19]
+        return jnp.argmax(logits, axis=-1)
+
+    def _parse12(self, img01: jnp.ndarray) -> jnp.ndarray:
+        """(B, S, S, 3) in [0,1] -> (B, 512, 512) 12-class label map."""
+        return jnp.asarray(_FFHQ_TO_12)[self._parse19(img01)]
 
     def _onehot(self, seg: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.one_hot(seg, self.cfg.num_seg_cls, dtype=jnp.float32)
