@@ -1,0 +1,99 @@
+"""Interactive apps: web UI (gradio) + CLI drivers.
+
+Counterparts of the reference's UX layer (SURVEY.md §2.9):
+- `build_gradio_app` ~ gradio_swap.py:116-166 (Image swap tab + Video swap tab
+  with PTI sliders). gradio is not baked into this image, so the import is
+  gated — the function raises a clear error when gradio is unavailable.
+- `recon_cli` ~ img_recon.py / test.py: reconstruction grids over a dataset.
+- The PyQt mask-painting UI's operations (reference run_UI.py:35) are exposed
+  as library calls on e4s2024_tpu.pipelines.editor.Editor (invert /
+  generate_from_label / component edits), which the web UI builds on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def build_gradio_app(swapper, video_pipeline=None):
+    """Gradio Blocks app: image swap + video swap with PTI controls."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise RuntimeError(
+            "gradio is not installed in this environment; use the library "
+            "APIs (FaceSwapper / FaceSwapVideoPipeline) or the CLI instead"
+        ) from e
+
+    def swap_image(source, target):
+        out = swapper.swap_aligned(
+            np.asarray(source, np.float32)[None],
+            np.asarray(target, np.float32)[None])
+        return np.asarray(out["image"][0]).astype(np.uint8)
+
+    def swap_video(source, video, pti_steps, pti_lr, recolor_lambda):
+        from e4s2024_tpu.video_io import extract_frames, write_video
+
+        frames, fps = extract_frames(video)
+        video_pipeline.cfg.pti.max_pti_steps = int(pti_steps)
+        video_pipeline.cfg.pti.learning_rate = float(pti_lr)
+        video_pipeline.cfg.pti.recolor_lambda = float(recolor_lambda)
+        outs = video_pipeline(np.asarray(source), frames)
+        out_path = os.path.join("/tmp", "swapped.mp4")
+        return write_video(outs, out_path, fps, audio_from=video)
+
+    with gr.Blocks(title="e4s2024-tpu face swap") as app:
+        with gr.Tab("Image swap"):
+            with gr.Row():
+                src = gr.Image(label="source")
+                tgt = gr.Image(label="target")
+            out = gr.Image(label="swapped")
+            gr.Button("Swap").click(swap_image, [src, tgt], out)
+        if video_pipeline is not None:
+            with gr.Tab("Video swap"):
+                vsrc = gr.Image(label="source")
+                vid = gr.Video(label="target video")
+                steps = gr.Slider(0, 200, value=80, label="PTI steps")
+                lr = gr.Number(value=1e-3, label="PTI lr")
+                rl = gr.Number(value=5.0, label="recolor lambda")
+                vout = gr.Video(label="result")
+                gr.Button("Swap video").click(
+                    swap_video, [vsrc, vid, steps, lr, rl], vout)
+    return app
+
+
+def recon_cli(swapper, dataset, out_dir: str, limit: int = 100):
+    """Reconstruction eval driver (reference img_recon.py / test.py): invert
+    and re-synthesize each test image, save side-by-side grids, report
+    SSIM/PSNR/RMSE."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from e4s2024_tpu.metrics import reconstruction_metrics
+    from e4s2024_tpu.models.rgi import RGINet
+    from e4s2024_tpu.utils.image import from_pm1, vis_faces_grid
+
+    os.makedirs(out_dir, exist_ok=True)
+    recons, gts = [], []
+    for i in range(min(limit, len(dataset))):
+        img, lbl = dataset[i]
+        onehot = jax.nn.one_hot(jnp.asarray(lbl)[None], swapper.cfg.num_seg_cls)
+        sv = swapper._invert_jit(jnp.asarray(img)[None], onehot)
+        codes = swapper.rgi.apply(swapper.rgi_variables, sv,
+                                  method=RGINet.cal_style_codes)
+        recon, _, _ = swapper.rgi.apply(
+            swapper.rgi_variables, None, codes, onehot, method=RGINet.gen_img,
+            regional_mode=swapper.cfg.regional_mode)
+        r = from_pm1(np.asarray(recon[0]))
+        g = from_pm1(img)
+        recons.append(r)
+        gts.append(g)
+        Image.fromarray(vis_faces_grid([[g, r]])).save(
+            os.path.join(out_dir, f"{i:05d}_recon.png"))
+    metrics = reconstruction_metrics(np.stack(recons), np.stack(gts))
+    with open(os.path.join(out_dir, "metrics.txt"), "w") as f:
+        f.write(str(metrics))
+    return metrics

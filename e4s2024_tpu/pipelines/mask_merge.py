@@ -134,3 +134,48 @@ def swap_comp_style_vector(
     src_has_teeth = jnp.sum(source_sv[:, 9]) != 0
     sv = sv.at[:, 9].set(jnp.where(src_has_teeth, sv[:, 9], target_sv[:, 9]))
     return sv
+
+
+@jax.jit
+def swap_head_mask_consider_glass(source: jnp.ndarray, target: jnp.ndarray):
+    """Earlier-generation mask merge (reference swap_face_mask.py:93-154
+    `swap_head_mask_revisit_considerGlass`): source face painted only where
+    the target is not background; source hair wins over target hair.
+
+    Returns (mask, hole_map, eyebrows_line)."""
+    res = jnp.zeros_like(target)
+    res = jnp.where(target == 0, 99, res)
+    res = jnp.where(target == 8, 8, res)
+    for c in (7, 11, 1, 2, 3, 5, 6, 9):
+        res = jnp.where((source == c) & (res != 99), c, res)
+    res = jnp.where(target == 10, 10, res)
+    res = jnp.where(source == 4, 4, res)
+    hole_map = jnp.where(res == 0, 255, 0)
+    res = jnp.where(res == 0, 6, res)
+    res = jnp.where(res == 99, 0, res)
+    rows = jnp.arange(target.shape[0])[:, None]
+    has_brow = jnp.any(res == 2)
+    brow_line = jnp.where(
+        has_brow, jnp.min(jnp.where(res == 2, rows, target.shape[0])), 0)
+    return res, hole_map, brow_line
+
+
+def swap_head_mask_target_bg_dilation(source: jnp.ndarray, target: jnp.ndarray,
+                                      radius: int = 3, iters: int = 7):
+    """Dilated-target-background variant (reference swap_face_mask.py:370-438):
+    grow the target's non-face regions before painting the source face."""
+    from e4s2024_tpu.ops.morphology import dilation as _dilate
+
+    bg = _is_bg(target)
+    bg_vals = jnp.where(bg, target, 1)
+    bg_vals = jnp.where(bg_vals == 0, 99, bg_vals).astype(jnp.float32)
+    m = bg_vals[None, ..., None]
+    for _ in range(iters):
+        m = _dilate(m, 2 * radius + 1)
+    res = m[0, ..., 0].astype(target.dtype)
+    res = jnp.where(res == 99, 0, res)
+    for c in (1, 2, 3, 5, 6, 9):
+        res = jnp.where(source == c, c, res)
+    res = jnp.where(target == 4, 4, res)
+    res = jnp.where(target == 10, 10, res)
+    return res
