@@ -89,17 +89,28 @@ class FaceSwapper:
         self.rgi_variables = rgi_variables
         self.bisenet_params = bisenet_params
         self.landmark_fn = landmark_fn
+        # params are passed as jit ARGUMENTS (not closed over): closures would
+        # embed the weights as constants in the XLA program, which blows up
+        # compile payloads (HTTP 413 on remote-compile backends) and forbids
+        # weight updates without retracing.
         if config.jit_mode == "fused":
-            self._swap_jit = jax.jit(self._swap_aligned)
+            self._swap_fused_jit = jax.jit(self._swap_aligned_p)
+            self._swap_jit = (lambda d, t: self._swap_fused_jit(
+                self.rgi_variables, self.bisenet_params, d, t))
         else:
             self._swap_jit = self._swap_staged
-            self._parse_jit = jax.jit(self._parse12)
-            self._invert_jit = jax.jit(self._style_vectors)
-            self._synth_jit = jax.jit(self._synth_and_composite)
+            self._parse_p_jit = jax.jit(self._parse12_p)
+            self._invert_p_jit = jax.jit(self._style_vectors_p)
+            self._synth_p_jit = jax.jit(self._synth_and_composite_p)
+            self._parse_jit = lambda x: self._parse_p_jit(self.bisenet_params, x)
+            self._invert_jit = (lambda img, oh: self._invert_p_jit(
+                self.rgi_variables, img, oh))
+            self._synth_jit = (lambda sv, m, hm, t: self._synth_p_jit(
+                self.rgi_variables, sv, m, hm, t))
 
     # ---------------- jitted core ----------------
 
-    def _parse19(self, img01: jnp.ndarray) -> jnp.ndarray:
+    def _parse19_p(self, bisenet_params, img01: jnp.ndarray) -> jnp.ndarray:
         """(B, S, S, 3) in [0,1] -> (B, 512, 512) 19-class label map
         (FaceParser preprocessing, reference face_parsing_demo.py:153-171)."""
         h = img01.shape[1]
@@ -110,20 +121,29 @@ class FaceSwapper:
         else:
             x = img01
         x = (x - _SEG_MEAN) / _SEG_STD
-        logits, _, _ = self.bisenet.apply({"params": self.bisenet_params}, x)
+        logits, _, _ = self.bisenet.apply({"params": bisenet_params}, x)
         return jnp.argmax(logits, axis=-1)
 
-    def _parse12(self, img01: jnp.ndarray) -> jnp.ndarray:
+    def _parse19(self, img01: jnp.ndarray) -> jnp.ndarray:
+        return self._parse19_p(self.bisenet_params, img01)
+
+    def _parse12_p(self, bisenet_params, img01: jnp.ndarray) -> jnp.ndarray:
         """(B, S, S, 3) in [0,1] -> (B, 512, 512) 12-class label map."""
-        return jnp.asarray(_FFHQ_TO_12)[self._parse19(img01)]
+        return jnp.asarray(_FFHQ_TO_12)[self._parse19_p(bisenet_params, img01)]
+
+    def _parse12(self, img01: jnp.ndarray) -> jnp.ndarray:
+        return self._parse12_p(self.bisenet_params, img01)
 
     def _onehot(self, seg: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.one_hot(seg, self.cfg.num_seg_cls, dtype=jnp.float32)
 
-    def _style_vectors(self, img_pm1, onehot):
-        sv, _ = self.rgi.apply(self.rgi_variables, img_pm1, onehot,
+    def _style_vectors_p(self, rgi_variables, img_pm1, onehot):
+        sv, _ = self.rgi.apply(rgi_variables, img_pm1, onehot,
                                method=RGINet.get_style_vectors)
         return sv
+
+    def _style_vectors(self, img_pm1, onehot):
+        return self._style_vectors_p(self.rgi_variables, img_pm1, onehot)
 
     def _composite(self, swapped_pm1, target_pm1, swapped_msk, hole_mask):
         """Reference _past_back (:159-219): content paste + border multiband."""
@@ -154,17 +174,22 @@ class FaceSwapper:
                                       num_levels=cfg.num_blend_levels)
         return jnp.clip(out, 0.0, 255.0)
 
-    def _synth_and_composite(self, swapped_sv, swapped_mask, hole_mask, t_pm1):
+    def _synth_and_composite_p(self, rgi_variables, swapped_sv, swapped_mask,
+                               hole_mask, t_pm1):
         """Stage 3: codes -> regional synthesis -> composite (jitted)."""
-        style_codes = self.rgi.apply(self.rgi_variables, swapped_sv,
+        style_codes = self.rgi.apply(rgi_variables, swapped_sv,
                                      method=RGINet.cal_style_codes)
         swapped_onehot = self._onehot(swapped_mask)[None]
         swapped, _, _ = self.rgi.apply(
-            self.rgi_variables, None, style_codes, swapped_onehot,
+            rgi_variables, None, style_codes, swapped_onehot,
             method=RGINet.gen_img,
             regional_mode=self.cfg.regional_mode,
         )
         return self._composite(swapped, t_pm1, swapped_mask, hole_mask)
+
+    def _synth_and_composite(self, swapped_sv, swapped_mask, hole_mask, t_pm1):
+        return self._synth_and_composite_p(self.rgi_variables, swapped_sv,
+                                           swapped_mask, hole_mask, t_pm1)
 
     def _swap_staged(self, driven255, target255):
         """Staged-jit version of _swap_aligned: 3 smaller XLA programs."""
@@ -190,6 +215,16 @@ class FaceSwapper:
             "hole_mask": merged["hole_mask"],
             "swapped_style_vectors": swapped_sv,
         }
+
+    def _swap_aligned_p(self, rgi_variables, bisenet_params, driven255,
+                        target255):
+        """Fused one-program variant (params as args)."""
+        saved = (self.rgi_variables, self.bisenet_params)
+        self.rgi_variables, self.bisenet_params = rgi_variables, bisenet_params
+        try:
+            return self._swap_aligned(driven255, target255)
+        finally:
+            self.rgi_variables, self.bisenet_params = saved
 
     def _swap_aligned(self, driven255, target255):
         """driven/target: (1, S, S, 3) float32 aligned crops in [0, 255].

@@ -171,9 +171,9 @@ class FaceSwapVideoPipeline:
                 recolor=to_pm1(driven),  # recolor target = driven unless a
                                          # Blender recolor hook supplied them
             )
+            # params are jit arguments, so the tuned weights take effect
+            # without retracing
             self.swapper.rgi_variables = variables
-            # re-jit with tuned weights
-            self.swapper._synth_jit = jax.jit(self.swapper._synth_and_composite)
 
         # 6-7. synthesize + composite + paste back
         outputs = []
