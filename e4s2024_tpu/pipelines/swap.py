@@ -102,11 +102,17 @@ class FaceSwapper:
             self._parse_p_jit = jax.jit(self._parse12_p)
             self._invert_p_jit = jax.jit(self._style_vectors_p)
             self._synth_p_jit = jax.jit(self._synth_and_composite_p)
+            self._pair_p_jit = jax.jit(self._parse_invert_p)
+            self._merge_p_jit = jax.jit(self._merge_synth_composite_p)
             self._parse_jit = lambda x: self._parse_p_jit(self.bisenet_params, x)
             self._invert_jit = (lambda img, oh: self._invert_p_jit(
                 self.rgi_variables, img, oh))
             self._synth_jit = (lambda sv, m, hm, t: self._synth_p_jit(
                 self.rgi_variables, sv, m, hm, t))
+            self._pair_jit = (lambda pair: self._pair_p_jit(
+                self.rgi_variables, self.bisenet_params, pair))
+            self._merge_jit = (lambda dm, tm, dsv, tsv, t: self._merge_p_jit(
+                self.rgi_variables, dm, tm, dsv, tsv, t))
 
     # ---------------- jitted core ----------------
 
@@ -187,34 +193,44 @@ class FaceSwapper:
         )
         return self._composite(swapped, t_pm1, swapped_mask, hole_mask)
 
-    def _synth_and_composite(self, swapped_sv, swapped_mask, hole_mask, t_pm1):
-        return self._synth_and_composite_p(self.rgi_variables, swapped_sv,
-                                           swapped_mask, hole_mask, t_pm1)
-
-    def _swap_staged(self, driven255, target255):
-        """Staged-jit version of _swap_aligned: 3 smaller XLA programs."""
-        d01 = driven255 / 255.0
-        t01 = target255 / 255.0
-        d_pm1 = d01 * 2.0 - 1.0
-        t_pm1 = t01 * 2.0 - 1.0
-
-        d_mask = self._parse_jit(d01)[0]
-        t_mask = self._parse_jit(t01)[0]
-        d_sv = self._invert_jit(d_pm1, self._onehot(d_mask)[None])
-        t_sv = self._invert_jit(t_pm1, self._onehot(t_mask)[None])
-
+    def _merge_synth_composite_p(self, rgi_variables, d_mask, t_mask, d_sv,
+                                 t_sv, t_pm1):
+        """Stages 3b-5 in ONE program: mask merge + style mixing + synthesis +
+        compositing — minimizes per-call dispatches on high-latency backends."""
         merged = swap_head_mask(d_mask, t_mask)
-        comp = np.asarray(sorted(set(range(self.cfg.num_seg_cls))
-                                 - set(self.cfg.keep_target_components)))
-        swapped_sv = swap_comp_style_vector(t_sv, d_sv, jnp.asarray(comp))
-        out255 = self._synth_jit(swapped_sv, merged["mask"],
-                                 merged["hole_mask"], t_pm1)
+        comp = jnp.asarray(sorted(set(range(self.cfg.num_seg_cls))
+                                  - set(self.cfg.keep_target_components)))
+        swapped_sv = swap_comp_style_vector(t_sv, d_sv, comp)
+        out255 = self._synth_and_composite_p(
+            rgi_variables, swapped_sv, merged["mask"], merged["hole_mask"],
+            t_pm1)
         return {
             "image": out255,
             "swapped_mask": merged["mask"],
             "hole_mask": merged["hole_mask"],
             "swapped_style_vectors": swapped_sv,
         }
+
+    def _synth_and_composite(self, swapped_sv, swapped_mask, hole_mask, t_pm1):
+        return self._synth_and_composite_p(self.rgi_variables, swapped_sv,
+                                           swapped_mask, hole_mask, t_pm1)
+
+    def _parse_invert_p(self, rgi_variables, bisenet_params, pair255):
+        """Stages 1-2 in ONE program over the (driven, target) pair batch."""
+        img01 = pair255 / 255.0
+        masks = self._parse12_p(bisenet_params, img01)
+        onehot = self._onehot(masks)
+        sv = self._style_vectors_p(rgi_variables, img01 * 2.0 - 1.0, onehot)
+        return masks, sv
+
+    def _swap_staged(self, driven255, target255):
+        """Staged-jit swap: 2 XLA programs (parse+invert batched over the
+        pair; merge+mix+synth+composite fused)."""
+        pair = jnp.concatenate([jnp.asarray(driven255),
+                                jnp.asarray(target255)], axis=0)
+        masks, sv = self._pair_jit(pair)
+        t_pm1 = jnp.asarray(target255) / 127.5 - 1.0
+        return self._merge_jit(masks[0], masks[1], sv[0:1], sv[1:2], t_pm1)
 
     def _swap_aligned_p(self, rgi_variables, bisenet_params, driven255,
                         target255):
