@@ -46,7 +46,9 @@ _EPS = 1e-8
 
 def _he_scale(weight: jnp.ndarray) -> float:
     kh, kw, cin, _ = weight.shape
-    return 1.0 / np.sqrt(cin * kh * kw)
+    # python float (weak-typed): a np.float64 scalar would promote bf16
+    # weights to float32
+    return float(1.0 / np.sqrt(cin * kh * kw))
 
 
 def _demod_coeff(weight: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:

@@ -155,10 +155,10 @@ class FullFaceSwapPipeline:
         elif self.cfg.ct_mode not in ("none", "blender"):
             swapped = self._recolor(swapped, target_crop255, None, None)
 
-        swapped = self._inpaint(swapped, np.asarray(result["hole_mask"]))
+        swapped = self._inpaint(swapped, np.asarray(result["hole_mask"][0]))
         return {
             "image": np.clip(swapped, 0, 255).astype(np.uint8),
             "driven": driven,
-            "swapped_mask": np.asarray(result["swapped_mask"]),
-            "hole_mask": np.asarray(result["hole_mask"]),
+            "swapped_mask": np.asarray(result["swapped_mask"][0]),
+            "hole_mask": np.asarray(result["hole_mask"][0]),
         }

@@ -131,7 +131,8 @@ def swap_comp_style_vector(
     sv = sv.at[:, 11].set(target_sv[:, 11])  # earrings from target
     if belowface_interpolation:
         sv = sv.at[:, 8].set((target_sv[:, 8] + source_sv[:, 8]) / 2)
-    src_has_teeth = jnp.sum(source_sv[:, 9]) != 0
+    # per-sample teeth fallback (the reference runs with B=1, :364)
+    src_has_teeth = (jnp.sum(source_sv[:, 9], axis=-1, keepdims=True) != 0)
     sv = sv.at[:, 9].set(jnp.where(src_has_teeth, sv[:, 9], target_sv[:, 9]))
     return sv
 

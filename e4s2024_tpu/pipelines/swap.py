@@ -152,13 +152,15 @@ class FaceSwapper:
         return self._style_vectors_p(self.rgi_variables, img_pm1, onehot)
 
     def _composite(self, swapped_pm1, target_pm1, swapped_msk, hole_mask):
-        """Reference _past_back (:159-219): content paste + border multiband."""
+        """Reference _past_back (:159-219): content paste + border multiband.
+
+        swapped_msk / hole_mask: (B, Hm, Wm); images (B, S, S, 3)."""
         cfg = self.cfg
         bg = jnp.zeros_like(swapped_msk, dtype=bool)
         for c in (0, 11, 4, 7, 8):
             bg = bg | (swapped_msk == c)
         fg = (~bg) | hole_mask
-        fg = fg[None, ..., None].astype(jnp.float32)  # (1, 512, 512, 1)
+        fg = fg[..., None].astype(jnp.float32)  # (B, Hm, Wm, 1)
 
         r = cfg.outer_dilation
         full = dilation(fg, 2 * r + 1)
@@ -182,10 +184,12 @@ class FaceSwapper:
 
     def _synth_and_composite_p(self, rgi_variables, swapped_sv, swapped_mask,
                                hole_mask, t_pm1):
-        """Stage 3: codes -> regional synthesis -> composite (jitted)."""
+        """Stage 3: codes -> regional synthesis -> composite (jitted).
+
+        swapped_sv: (B, K, D); swapped_mask/hole_mask: (B, Hm, Wm)."""
         style_codes = self.rgi.apply(rgi_variables, swapped_sv,
                                      method=RGINet.cal_style_codes)
-        swapped_onehot = self._onehot(swapped_mask)[None]
+        swapped_onehot = self._onehot(swapped_mask)
         swapped, _, _ = self.rgi.apply(
             rgi_variables, None, style_codes, swapped_onehot,
             method=RGINet.gen_img,
@@ -193,11 +197,15 @@ class FaceSwapper:
         )
         return self._composite(swapped, t_pm1, swapped_mask, hole_mask)
 
-    def _merge_synth_composite_p(self, rgi_variables, d_mask, t_mask, d_sv,
+    def _merge_synth_composite_p(self, rgi_variables, d_masks, t_masks, d_sv,
                                  t_sv, t_pm1):
         """Stages 3b-5 in ONE program: mask merge + style mixing + synthesis +
-        compositing — minimizes per-call dispatches on high-latency backends."""
-        merged = swap_head_mask(d_mask, t_mask)
+        compositing, batched over swaps — minimizes per-call dispatches on
+        high-latency backends.
+
+        d_masks/t_masks: (B, Hm, Wm); d_sv/t_sv: (B, K, D); t_pm1: (B, S, S, 3).
+        """
+        merged = jax.vmap(lambda a, b: swap_head_mask(a, b))(d_masks, t_masks)
         comp = jnp.asarray(sorted(set(range(self.cfg.num_seg_cls))
                                   - set(self.cfg.keep_target_components)))
         swapped_sv = swap_comp_style_vector(t_sv, d_sv, comp)
@@ -224,13 +232,16 @@ class FaceSwapper:
         return masks, sv
 
     def _swap_staged(self, driven255, target255):
-        """Staged-jit swap: 2 XLA programs (parse+invert batched over the
-        pair; merge+mix+synth+composite fused)."""
+        """Staged-jit swap: 2 XLA programs (parse+invert batched over all
+        driven+target crops; merge+mix+synth+composite fused and batched).
+
+        driven255/target255: (B, S, S, 3) — B swaps at once."""
+        b = driven255.shape[0]
         pair = jnp.concatenate([jnp.asarray(driven255),
                                 jnp.asarray(target255)], axis=0)
         masks, sv = self._pair_jit(pair)
         t_pm1 = jnp.asarray(target255) / 127.5 - 1.0
-        return self._merge_jit(masks[0], masks[1], sv[0:1], sv[1:2], t_pm1)
+        return self._merge_jit(masks[:b], masks[b:], sv[:b], sv[b:], t_pm1)
 
     def _swap_aligned_p(self, rgi_variables, bisenet_params, driven255,
                         target255):

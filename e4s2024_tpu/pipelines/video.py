@@ -180,8 +180,8 @@ class FaceSwapVideoPipeline:
         for i in range(len(t_crops)):
             out255 = self.swapper._synth_jit(
                 jnp.asarray(swapped_svs[i:i + 1]),
-                jnp.asarray(merged_masks[i]),
-                jnp.asarray(holes[i]),
+                jnp.asarray(merged_masks[i:i + 1]),
+                jnp.asarray(holes[i:i + 1]),
                 jnp.asarray(to_pm1(t_crops[i:i + 1])),
             )
             coeffs = paste_back_coefficients(t_quads[i], s)

@@ -29,7 +29,7 @@ def test_swap_aligned_end_to_end(swapper, rng):
     out = swapper.swap_aligned(src, tgt)
     assert out["image"].shape == (1, 128, 128, 3)
     assert float(out["image"].min()) >= 0.0 and float(out["image"].max()) <= 255.0
-    assert out["swapped_mask"].shape == (512, 512)
+    assert out["swapped_mask"].shape == (1, 512, 512)
     assert out["swapped_style_vectors"].shape == (1, 12, 1280)
     assert bool(jnp.isfinite(out["image"]).all())
 
