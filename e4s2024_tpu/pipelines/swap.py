@@ -64,6 +64,9 @@ class SwapConfig:
     # programs (much faster to compile, arrays stay on device between stages);
     # "fused" compiles the whole swap as one program.
     jit_mode: str = "staged"
+    # compute dtype for the neural nets ("bfloat16" halves HBM traffic and
+    # doubles MXU rate; compositing stays float32 either way)
+    compute_dtype: str = "float32"
 
 
 class FaceSwapper:
@@ -86,9 +89,16 @@ class FaceSwapper:
             remaining_layer_idx=config.remaining_layer_idx,
         )
         self.bisenet = BiSeNet()
+        self.landmark_fn = landmark_fn
+        self._dtype = jnp.dtype(config.compute_dtype)
+        if self._dtype != jnp.float32:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(self._dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+            rgi_variables = cast(rgi_variables)
+            bisenet_params = cast(bisenet_params)
         self.rgi_variables = rgi_variables
         self.bisenet_params = bisenet_params
-        self.landmark_fn = landmark_fn
         # params are passed as jit ARGUMENTS (not closed over): closures would
         # embed the weights as constants in the XLA program, which blows up
         # compile payloads (HTTP 413 on remote-compile backends) and forbids
@@ -126,7 +136,7 @@ class FaceSwapper:
             x = resize_bilinear(img01, (512, 512))
         else:
             x = img01
-        x = (x - _SEG_MEAN) / _SEG_STD
+        x = ((x - _SEG_MEAN) / _SEG_STD).astype(self._dtype)
         logits, _, _ = self.bisenet.apply({"params": bisenet_params}, x)
         return jnp.argmax(logits, axis=-1)
 
@@ -144,7 +154,8 @@ class FaceSwapper:
         return jax.nn.one_hot(seg, self.cfg.num_seg_cls, dtype=jnp.float32)
 
     def _style_vectors_p(self, rgi_variables, img_pm1, onehot):
-        sv, _ = self.rgi.apply(rgi_variables, img_pm1, onehot,
+        sv, _ = self.rgi.apply(rgi_variables, img_pm1.astype(self._dtype),
+                               onehot.astype(self._dtype),
                                method=RGINet.get_style_vectors)
         return sv
 
@@ -187,15 +198,18 @@ class FaceSwapper:
         """Stage 3: codes -> regional synthesis -> composite (jitted).
 
         swapped_sv: (B, K, D); swapped_mask/hole_mask: (B, Hm, Wm)."""
-        style_codes = self.rgi.apply(rgi_variables, swapped_sv,
+        style_codes = self.rgi.apply(rgi_variables,
+                                     swapped_sv.astype(self._dtype),
                                      method=RGINet.cal_style_codes)
-        swapped_onehot = self._onehot(swapped_mask)
+        swapped_onehot = self._onehot(swapped_mask).astype(self._dtype)
         swapped, _, _ = self.rgi.apply(
             rgi_variables, None, style_codes, swapped_onehot,
             method=RGINet.gen_img,
             regional_mode=self.cfg.regional_mode,
         )
-        return self._composite(swapped, t_pm1, swapped_mask, hole_mask)
+        # compositing runs float32 (bf16 has ~1-unit precision at 255)
+        return self._composite(swapped.astype(jnp.float32), t_pm1,
+                               swapped_mask, hole_mask)
 
     def _merge_synth_composite_p(self, rgi_variables, d_masks, t_masks, d_sv,
                                  t_sv, t_pm1):
