@@ -48,6 +48,10 @@ class FullSwapConfig:
     enhancement_mode: str = "gpen"     # reference fixes driven enhance to gpen
     ct_mode: str = "blender"           # "blender" | lct/rct/mkl/sot/... | "none"
     face_inpainting: bool = False
+    # W-space refinement of both style vectors before swapping (reference
+    # optimize_W path, Face_swap_with_two_imgs.py:483-507; 200 steps Adam 1e-2)
+    optimize_w_steps: int = 0
+    optimize_w_lr: float = 1e-2
     blend_up_ratio: float = 0.75       # edge-aware recolor blend (:910-924)
 
 
@@ -141,8 +145,12 @@ class FullFaceSwapPipeline:
         driven = self._enhance(driven, "gpen" if "gpen" in self.comp.enhancers
                                else None)
 
-        result = self.swapper.swap_aligned(driven[None].astype(np.float32),
-                                           target_crop255[None].astype(np.float32))
+        if self.cfg.optimize_w_steps > 0:
+            result = self._swap_with_optimized_w(driven, target_crop255)
+        else:
+            result = self.swapper.swap_aligned(
+                driven[None].astype(np.float32),
+                target_crop255[None].astype(np.float32))
         swapped = np.asarray(result["image"][0])
 
         # 19-class labels for the recolorer
@@ -156,6 +164,32 @@ class FullFaceSwapPipeline:
             swapped = self._recolor(swapped, target_crop255, None, None)
 
         swapped = self._inpaint(swapped, np.asarray(result["hole_mask"][0]))
+        return self._package(swapped, driven, result)
+
+    def _swap_with_optimized_w(self, driven255, target255):
+        """Swap with per-image W-space refinement (reference :483-507)."""
+        from e4s2024_tpu.losses.recon import ReconCriterion
+        from e4s2024_tpu.training.optim import optimize_style_vectors
+
+        sw = self.swapper
+        crit = ReconCriterion({}, lpips_lambda=0.0, id_lambda=0.0,
+                              face_parsing_lambda=0.0)
+        pair = jnp.concatenate([
+            jnp.asarray(driven255[None], jnp.float32),
+            jnp.asarray(target255[None], jnp.float32)], axis=0)
+        masks, _ = sw._pair_jit(pair)
+        onehot = jax.nn.one_hot(masks, sw.cfg.num_seg_cls)
+        svs = []
+        for i, img255 in enumerate((driven255, target255)):
+            img = jnp.asarray(img255[None], jnp.float32) / 127.5 - 1.0
+            sv, _ = optimize_style_vectors(
+                sw.rgi, sw.rgi_variables, crit, img, onehot[i:i + 1],
+                steps=self.cfg.optimize_w_steps, lr=self.cfg.optimize_w_lr)
+            svs.append(sv)
+        t_pm1 = jnp.asarray(target255[None], jnp.float32) / 127.5 - 1.0
+        return sw._merge_jit(masks[0:1], masks[1:2], svs[0], svs[1], t_pm1)
+
+    def _package(self, swapped, driven, result):
         return {
             "image": np.clip(swapped, 0, 255).astype(np.uint8),
             "driven": driven,

@@ -59,6 +59,7 @@ class TrainConfig:
     encoder_num_units: tuple = (3, 4, 14, 3)
     batch_size: int = 2            # per step (global; shard over mesh)
     learning_rate: float = 1e-4
+    optim_name: str = "adam"       # "adam" | "ranger" (reference --optim_name)
     max_steps: int = 200_000
     lr_decay_step: int = 100_000   # x0.1 (coach.py:440-442)
     d_every: int = 15
@@ -143,8 +144,16 @@ class Coach:
 
         sched = optax.piecewise_constant_schedule(
             cfg.learning_rate, {cfg.lr_decay_step: 0.1})
-        self._g_tx_inner = optax.adam(sched)
-        self._d_tx = optax.adam(sched)
+        if cfg.optim_name == "ranger":
+            from e4s2024_tpu.training.optim import ranger
+
+            # flat-params variant of ranger (no lookahead wrapper state
+            # incompatibility with multi_transform): RAdam core
+            self._g_tx_inner = optax.radam(sched)
+            self._d_tx = optax.radam(sched)
+        else:
+            self._g_tx_inner = optax.adam(sched)
+            self._d_tx = optax.adam(sched)
         self._g_tx = None  # built at init_state (needs params for the mask)
 
         shard = None
