@@ -144,3 +144,49 @@ class FSEncoderPSP(nn.Module):
         style_vectors = jnp.concatenate(codes, axis=-1)  # (B, K, 256+512+512)
         structure_feats = jnp.zeros_like(x)
         return style_vectors, structure_feats
+
+
+class FSEncoderSEAN(nn.Module):
+    """SEAN-style per-region encoder — the alternative `fsencoder_type`
+    (reference psp_encoders.py:238-316, selected by opts.fsencoder_type,
+    networks.py:57-63; default is psp).
+
+    256^2 input: reflect-pad conv to ngf, 2 stride-2 downs, 1 transposed-conv
+    upsample (128^2 feats), tanh style head -> masked avg pool (B, K, 512),
+    plus a 3-conv structure branch to 16^2 x 512.
+    """
+
+    ngf: int = 32
+    output_nc: int = 512
+
+    @nn.compact
+    def __call__(self, x, segmap):
+        def refl_conv(v, feats, k, name):
+            pad = k // 2
+            v = jnp.pad(v, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                        mode="reflect")
+            return nn.Conv(feats, (k, k), padding="VALID", name=name)(v)
+
+        def lrelu(v):
+            return jnp.where(v >= 0, v, 0.2 * v)
+
+        h = lrelu(instance_norm(refl_conv(x, self.ngf, 3, "head")))
+        for i in range(2):  # in_size=256 -> n_downsampling=2
+            mult = 2**i
+            h = nn.Conv(self.ngf * mult * 2, (3, 3), strides=2, padding=1,
+                        name=f"down_{i}")(h)
+            h = lrelu(instance_norm(h))
+        # upsample back to 128^2 (psp_encoders.py:267-272)
+        h = nn.ConvTranspose(self.ngf * 8, (3, 3), strides=(2, 2),
+                             name="up")(h)
+        h = lrelu(instance_norm(h))
+
+        codes = jnp.tanh(refl_conv(h, self.output_nc, 3, "style_conv"))
+        style_vectors = masked_average_pool(codes, segmap)
+
+        s = h
+        for i in range(3):
+            s = nn.Conv(512, (3, 3), strides=2, padding=1,
+                        name=f"structure_{i}")(s)
+            s = lrelu(instance_norm(s))
+        return style_vectors, s

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from e4s2024_tpu.models.encoders import FSEncoderPSP
+from e4s2024_tpu.models.encoders import FSEncoderPSP, FSEncoderSEAN
 from e4s2024_tpu.models.stylegan2 import EqualLinear, Generator
 from e4s2024_tpu.ops.resize import resize_bilinear
 
@@ -53,6 +53,9 @@ class RGINet(nn.Module):
     # values / unit counts are for cheap CI configs only.
     encoder_input_size: int = 256
     encoder_num_units: tuple = (3, 4, 14, 3)
+    # "psp" (default, reference train_options.py:15) or "sean"
+    # (reference networks.py:57-63)
+    fsencoder_type: str = "psp"
 
     def setup(self):
         n_latent = 2 * int(np.log2(self.out_size)) - 2
@@ -60,7 +63,11 @@ class RGINet(nn.Module):
             raise ValueError(
                 f"remaining_layer_idx={self.remaining_layer_idx} exceeds "
                 f"n_latent={n_latent} for out_size={self.out_size}")
-        self.encoder = FSEncoderPSP(num_units=self.encoder_num_units, name="encoder")
+        if self.fsencoder_type == "sean":
+            self.encoder = FSEncoderSEAN(name="encoder")
+        else:
+            self.encoder = FSEncoderPSP(num_units=self.encoder_num_units,
+                                        name="encoder")
         num_w = self.remaining_layer_idx if self.remaining_layer_idx != 17 else 18
         self.mlps = [
             LocalMLP(num_w_layers=num_w, name=f"mlp_{i}")

@@ -85,3 +85,25 @@ def test_latent_avg_offset(rng):
     np.testing.assert_allclose(diff[0, 3, :7], np.asarray(avg[:7]), atol=1e-6)
     # tail rows (>= remaining_layer_idx) are exactly latent_avg (not offset)
     np.testing.assert_allclose(np.asarray(codes1)[0, 5, 7:], np.asarray(avg[7:]), atol=1e-6)
+
+
+def test_sean_encoder_shapes(rng):
+    from e4s2024_tpu.models.encoders import FSEncoderSEAN
+
+    enc = FSEncoderSEAN()
+    img = jnp.asarray(rng.standard_normal((1, 256, 256, 3)).astype(np.float32))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[rng.integers(0, 12, (1, 64, 64))])
+    params = enc.init(jax.random.PRNGKey(0), img, seg)["params"]
+    sv, struc = enc.apply({"params": params}, img, seg)
+    assert sv.shape == (1, 12, 512)
+    assert struc.shape == (1, 16, 16, 512)
+
+
+def test_rgi_sean_forward(rng):
+    net = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 fsencoder_type="sean")
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[rng.integers(0, 12, (1, 64, 64))])
+    variables = net.init(jax.random.PRNGKey(0), img, seg)
+    imgs, feats = net.apply(variables, img, seg, regional_mode="fast")
+    assert imgs.shape == (1, 64, 64, 3)
