@@ -41,3 +41,11 @@ def test_pose_drive_registry():
         make_pose_driver("TPSMM")
     with pytest.raises(KeyError):
         make_pose_driver("nope")
+
+
+def test_inpaint_registry():
+    from e4s2024_tpu.pipelines.inpaint_registry import make_inpainter
+    with pytest.raises(NotImplementedError, match="MISF"):
+        make_inpainter("misf")
+    with pytest.raises(KeyError):
+        make_inpainter("nah")
