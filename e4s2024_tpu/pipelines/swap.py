@@ -268,42 +268,17 @@ class FaceSwapper:
             self.rgi_variables, self.bisenet_params = saved
 
     def _swap_aligned(self, driven255, target255):
-        """driven/target: (1, S, S, 3) float32 aligned crops in [0, 255].
+        """driven/target: (B, S, S, 3) float32 aligned crops in [0, 255].
 
-        Returns dict with swapped image [0,255], swapped mask, hole mask."""
-        d01 = driven255 / 255.0
-        t01 = target255 / 255.0
-        d_pm1 = d01 * 2.0 - 1.0
-        t_pm1 = t01 * 2.0 - 1.0
-
-        d_mask = self._parse12(d01)[0]
-        t_mask = self._parse12(t01)[0]
-        d_onehot = self._onehot(d_mask)[None]
-        t_onehot = self._onehot(t_mask)[None]
-
-        d_sv = self._style_vectors(d_pm1, d_onehot)
-        t_sv = self._style_vectors(t_pm1, t_onehot)
-
-        merged = swap_head_mask(d_mask, t_mask)
-        comp = np.asarray(sorted(set(range(self.cfg.num_seg_cls))
-                                 - set(self.cfg.keep_target_components)))
-        swapped_sv = swap_comp_style_vector(t_sv, d_sv, jnp.asarray(comp))
-
-        style_codes = self.rgi.apply(self.rgi_variables, swapped_sv,
-                                     method=RGINet.cal_style_codes)
-        swapped_onehot = self._onehot(merged["mask"])[None]
-        swapped, _, _ = self.rgi.apply(
-            self.rgi_variables, None, style_codes, swapped_onehot,
-            method=RGINet.gen_img,
-            regional_mode=self.cfg.regional_mode,
-        )
-        out255 = self._composite(swapped, t_pm1, merged["mask"], merged["hole_mask"])
-        return {
-            "image": out255,
-            "swapped_mask": merged["mask"],
-            "hole_mask": merged["hole_mask"],
-            "swapped_style_vectors": swapped_sv,
-        }
+        Returns dict with swapped image [0,255], swapped mask, hole mask —
+        same math as the staged path, expressed as one traceable function."""
+        b = driven255.shape[0]
+        pair = jnp.concatenate([driven255, target255], axis=0)
+        masks, sv = self._parse_invert_p(
+            self.rgi_variables, self.bisenet_params, pair)
+        t_pm1 = target255 / 127.5 - 1.0
+        return self._merge_synth_composite_p(
+            self.rgi_variables, masks[:b], masks[b:], sv[:b], sv[b:], t_pm1)
 
     # ---------------- host-side orchestration ----------------
 
