@@ -121,9 +121,13 @@ class BiSeNetOutput(nn.Module):
 
 class BiSeNet(nn.Module):
     n_classes: int = 19
+    # aux heads (out16/out32) exist for training-time deep supervision; the
+    # inference path only needs the main head
+    aux_heads: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, aux: bool | None = None):
+        aux = self.aux_heads if aux is None else aux
         h, w = x.shape[1], x.shape[2]
         f8, f16, f32 = Resnet18(name="resnet")(x)
 
@@ -141,10 +145,12 @@ class BiSeNet(nn.Module):
 
         fuse = FeatureFusion(256, name="ffm")(f8, f16_up)
         out = BiSeNetOutput(256, self.n_classes, name="conv_out")(fuse)
-        out16 = BiSeNetOutput(64, self.n_classes, name="conv_out16")(f16_up)
-        out32 = BiSeNetOutput(64, self.n_classes, name="conv_out32")(f32_up)
 
         up = lambda o: resize_bilinear_align_corners(o, (h, w))
+        if not aux and not self.is_initializing():
+            return up(out), None, None
+        out16 = BiSeNetOutput(64, self.n_classes, name="conv_out16")(f16_up)
+        out32 = BiSeNetOutput(64, self.n_classes, name="conv_out32")(f32_up)
         return up(out), up(out16), up(out32)
 
 
@@ -195,5 +201,5 @@ def face_parsing(params: dict, img01: jnp.ndarray) -> jnp.ndarray:
     else:
         x = resize_bilinear(img01, (512, 512))
     x = (x - _SEG_MEAN) / _SEG_STD
-    logits, _, _ = BiSeNet().apply({"params": params}, x)
+    logits, _, _ = BiSeNet().apply({"params": params}, x, aux=False)
     return jnp.argmax(logits, axis=-1)

@@ -137,7 +137,8 @@ class FaceSwapper:
         else:
             x = img01
         x = ((x - _SEG_MEAN) / _SEG_STD).astype(self._dtype)
-        logits, _, _ = self.bisenet.apply({"params": bisenet_params}, x)
+        logits, _, _ = self.bisenet.apply({"params": bisenet_params}, x,
+                                          aux=False)
         return jnp.argmax(logits, axis=-1)
 
     def _parse19(self, img01: jnp.ndarray) -> jnp.ndarray:
