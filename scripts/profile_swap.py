@@ -1,0 +1,105 @@
+"""Per-stage latency profile of the 512^2 swap pipeline on the real chip.
+
+Times each staged XLA program separately (value-fetch sync — see
+axon backend notes in bench.py) so perf work targets the right stage:
+
+  parse      BiSeNet 19-class parse of one 512^2 crop
+  invert     RGI encoder style-vector extraction of one crop
+  pair       the shipped stage-1 program (parse+invert, both crops batched)
+  merge      the shipped stage-2 program (mask merge + mixing + synthesis
+             + soft-erosion/multiband compositing)
+  synth      synthesis+compositing alone (merge minus the mask logic)
+
+Usage: python scripts/profile_swap.py [--dtype bfloat16] [--iters 20]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def bench(label, fn, sync, iters):
+    # warmup with retries (remote-compile endpoint can drop transiently)
+    for attempt in range(4):
+        try:
+            sync(fn())
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 3:
+                raise
+            print(f"  [{label}] warmup retry after: {type(e).__name__}")
+            time.sleep(10)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{label:8s} {best * 1e3:8.2f} ms   ({1.0 / best:7.1f}/s)")
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/e4s_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from e4s2024_tpu.models.bisenet import BiSeNet
+    from e4s2024_tpu.models.rgi import RGINet
+    from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
+
+    size = args.size
+    rng = np.random.default_rng(0)
+    cfg = SwapConfig(out_size=size, remaining_layer_idx=13,
+                     regional_mode="fast", num_blend_levels=8,
+                     compute_dtype=args.dtype)
+    rgi = RGINet(out_size=size, remaining_layer_idx=13)
+    img = jnp.zeros((1, size, size, 3))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, size, size), int)])
+    rgi_vars = jax.jit(rgi.init)(jax.random.PRNGKey(0), img, seg)
+    bise = jax.jit(BiSeNet().init)(jax.random.PRNGKey(1),
+                                   jnp.zeros((1, 512, 512, 3)))["params"]
+    sw = FaceSwapper(rgi_vars, bise, cfg)
+
+    a = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.float32))
+    b = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.float32))
+    pair = jnp.concatenate([a, b], axis=0)
+
+    sync_img = lambda o: np.asarray(o["image"])[0, 0, 0, 0]
+    sync_arr = lambda o: np.asarray(o).reshape(-1)[0]
+    sync_tup = lambda o: np.asarray(o[0]).reshape(-1)[0]
+
+    it = args.iters
+    print(f"profile @ {size}px dtype={args.dtype} iters={it}")
+    bench("e2e", lambda: sw.swap_aligned(a, b), sync_img, it)
+    bench("pair", lambda: sw._pair_jit(pair), sync_tup, it)
+
+    masks, sv = sw._pair_jit(pair)
+    t_pm1 = b / 127.5 - 1.0
+    bench("merge", lambda: sw._merge_jit(masks[:1], masks[1:], sv[:1],
+                                         sv[1:], t_pm1), sync_img, it)
+
+    merged = sw._merge_jit(masks[:1], masks[1:], sv[:1], sv[1:], t_pm1)
+    bench("synth", lambda: sw._synth_jit(merged["swapped_style_vectors"],
+                                         merged["swapped_mask"],
+                                         merged["hole_mask"], t_pm1),
+          sync_arr, it)
+
+    bench("parse", lambda: sw._parse_jit(a / 255.0), sync_arr, it)
+    onehot = sw._onehot(masks[:1])
+    bench("invert", lambda: sw._invert_jit(a / 127.5 - 1.0, onehot),
+          sync_arr, it)
+
+
+if __name__ == "__main__":
+    main()
