@@ -650,3 +650,50 @@ def convert_swinir(sd: Mapping[str, np.ndarray]) -> dict:
         params[f"layers_{li}"] = layer
         li += 1
     return params
+
+
+def _convt(sd, name):
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out),
+    # spatially flipped (flax cross-correlates, torch convolves)
+    return {
+        "kernel": np.ascontiguousarray(
+            sd[f"{name}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1]),
+        "bias": sd[f"{name}.bias"],
+    }
+
+
+def _kpn_basic(sd, name):
+    # KPN Basic.conv1 = Sequential(conv, relu, conv, relu, conv)
+    return {f"conv{i}": _conv(sd, f"{name}.conv1.{2 * i}") for i in range(3)}
+
+
+def convert_misf(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map a MISF InpaintGenerator checkpoint (reference MISF/src/
+    networks.py:35, data['generator']) onto MISFGenerator params.
+
+    InstanceNorms are affine=False (no params); kernel_pred has none;
+    kpn_model.conv_final exists in the torch module but is unused by its
+    forward, so it is dropped."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {
+        "encoder0": _conv(sd, "encoder0.1"),
+        "encoder1": _conv(sd, "encoder1.0"),
+        "encoder2": _conv(sd, "encoder2.0"),
+        "decoder0": _convt(sd, "decoder.0"),
+        "decoder1": _convt(sd, "decoder.3"),
+        "decoder2": _conv(sd, "decoder.7"),
+        "kpn_model": {
+            **{f"conv{i}": _kpn_basic(sd, f"kpn_model.conv{i}")
+               for i in (1, 2, 3, 4, 7, 8, 9)},
+            "kernels": _conv(sd, "kpn_model.kernels"),
+            "core_img": _conv(sd, "kpn_model.core_img"),
+        },
+    }
+    i = 0
+    while f"middle.{i}.conv_block.1.weight" in sd:
+        params[f"middle{i}"] = {
+            "conv1": _conv(sd, f"middle.{i}.conv_block.1"),
+            "conv2": _conv(sd, f"middle.{i}.conv_block.5"),
+        }
+        i += 1
+    return params

@@ -2,9 +2,10 @@
 
 The reference offers GCFSR-based inpainting (the live default,
 swap_face_fine/face_inpainting.py) and MISF as an alternative
-(swap_face_fine/MISF/inpainting.py) — but MISF's checkpoint points at an
-internal cluster path (inpainting.py:16: /apdcephfs_cq2/...), so only GCFSR is
-shippable. This registry mirrors that surface.
+(swap_face_fine/MISF/inpainting.py). Both architectures are implemented here;
+note MISF's reference checkpoint points at an internal cluster path
+(inpainting.py:16: /apdcephfs_cq2/...), so using it requires converting your
+own weights (convert.torch_loader.convert_misf).
 """
 
 from __future__ import annotations
@@ -28,9 +29,15 @@ def _gcfsr(params, **kw):
 
 @register_inpainter("misf")
 def _misf(params=None, **kw):
-    raise NotImplementedError(
-        "MISF inpainting has no public checkpoint in the reference "
-        "(internal cluster path, MISF/inpainting.py:16); use 'gcfsr'")
+    if params is None:
+        raise ValueError(
+            "MISF needs converted InpaintGenerator params (the reference "
+            "ships no public checkpoint — internal cluster path, "
+            "MISF/inpainting.py:16; convert your own via "
+            "convert.torch_loader.convert_misf)")
+    from e4s2024_tpu.models.misf import MISFInpainter
+
+    return MISFInpainter(params, **kw)
 
 
 def make_inpainter(name, params=None, **kw):
