@@ -100,6 +100,28 @@ def main():
     bench("invert", lambda: sw._invert_jit(a / 127.5 - 1.0, onehot),
           sync_arr, it)
 
+    # split the synth program: pure generator vs pure compositing
+    from e4s2024_tpu.models.rgi import RGINet
+
+    def gen_only(rv, sv, mask):
+        codes = sw.rgi.apply(rv, sv.astype(sw._dtype),
+                             method=RGINet.cal_style_codes)
+        onehot = sw._onehot(mask).astype(sw._dtype)
+        img, _, _ = sw.rgi.apply(rv, None, codes, onehot,
+                                 method=RGINet.gen_img,
+                                 regional_mode=sw.cfg.regional_mode)
+        return img
+
+    gen_j = jax.jit(gen_only)
+    comp_j = jax.jit(lambda s_img, t, m, h: sw._composite(s_img, t, m, h))
+
+    sv1 = merged["swapped_style_vectors"]
+    m1 = merged["swapped_mask"]
+    h1 = merged["hole_mask"]
+    bench("gen", lambda: gen_j(sw.rgi_variables, sv1, m1), sync_arr, it)
+    s_img = gen_j(sw.rgi_variables, sv1, m1).astype(jnp.float32)
+    bench("comp", lambda: comp_j(s_img, t_pm1, m1, h1), sync_arr, it)
+
 
 if __name__ == "__main__":
     main()
