@@ -54,6 +54,42 @@ def pyr_up(x: jnp.ndarray) -> jnp.ndarray:
     return _sep_conv_reflect(up, _PYR_TAPS * 2.0)
 
 
+# ---- planar (NCHW) pyramid path -------------------------------------------
+# TPU HBM layout tiles the LAST TWO dims to (8, 128); an NHWC image with
+# C in {1..7} therefore pads the channel dim up to 128 lanes — a 512x512x1
+# f32 mask occupies (and streams) 128x its logical size through every conv.
+# The planar path keeps (H, W) minor, where 512x512 tiles perfectly, and
+# expresses the separable 5-tap blur as shifted multiply-adds (no conv op,
+# so XLA fuses the whole blur into one elementwise loop).
+
+
+def _blur_planar(t: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Separable symmetric FIR with REFLECT_101 border on (..., H, W)."""
+    k = len(taps)
+    p = k // 2
+    h, w = t.shape[-2], t.shape[-1]
+    pad = [(0, 0)] * (t.ndim - 2)
+    tp = jnp.pad(t, pad + [(p, p), (0, 0)], mode="reflect")
+    t = sum(float(taps[i]) * lax.slice_in_dim(tp, i, i + h, axis=-2)
+            for i in range(k))
+    tp = jnp.pad(t, pad + [(0, 0), (p, p)], mode="reflect")
+    return sum(float(taps[i]) * lax.slice_in_dim(tp, i, i + w, axis=-1)
+               for i in range(k))
+
+
+def pyr_down_planar(t: jnp.ndarray) -> jnp.ndarray:
+    """cv2.pyrDown on (..., H, W) planar tensors."""
+    return _blur_planar(t, _PYR_TAPS)[..., ::2, ::2]
+
+
+def pyr_up_planar(t: jnp.ndarray) -> jnp.ndarray:
+    """cv2.pyrUp on (..., H, W) planar tensors."""
+    h, w = t.shape[-2], t.shape[-1]
+    up = jnp.zeros(t.shape[:-2] + (2 * h, 2 * w), t.dtype)
+    up = up.at[..., ::2, ::2].set(t)
+    return _blur_planar(up, _PYR_TAPS * 2.0)
+
+
 @functools.partial(jax.jit, static_argnames=("num_levels",))
 def laplacian_pyramid_blend(
     a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray, num_levels: int = 10
@@ -61,28 +97,38 @@ def laplacian_pyramid_blend(
     """Blend a (where mask=1) over b via per-band masking (reference
     multi_band_blending.py:6-47). Inputs NHWC; mask (B, H, W, 1) in [0, 1];
     spatial size must be divisible by 2**(num_levels-1)."""
-    # The pyramid convs are depthwise, so a/b/mask are packed into one tensor
-    # and filtered together: tiny-channel convs waste most of a TPU's vector
-    # lanes (C is padded to the 128-lane register width), so one 7-channel
-    # conv costs the same as one 3-channel conv — this packing cuts the conv
-    # count ~3x for bit-identical results.
-    c = a.shape[-1]
-    g = [jnp.concatenate([a, b, mask], axis=-1)]
+    # a/b/mask are packed along a planar channel axis and the whole blend
+    # runs in (B, C, H, W) layout — see the planar-path note below: NHWC
+    # masks/RGB pad the 128-lane channel dim, planar keeps (H, W) minor.
+    out = laplacian_pyramid_blend_planar(
+        a.transpose(0, 3, 1, 2), b.transpose(0, 3, 1, 2),
+        mask.transpose(0, 3, 1, 2), num_levels=num_levels)
+    return out.transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def laplacian_pyramid_blend_planar(
+    a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray, num_levels: int = 10
+) -> jnp.ndarray:
+    """laplacian_pyramid_blend on (B, C, H, W) planar tensors,
+    mask (B, 1, H, W)."""
+    c = a.shape[1]
+    g = [jnp.concatenate([a, b, mask], axis=1)]
     for _ in range(num_levels - 1):
-        g.append(pyr_down(g[-1]))
+        g.append(pyr_down_planar(g[-1]))
 
     def split(t):
-        return t[..., :c], t[..., c:2 * c], t[..., 2 * c:]
+        return t[:, :c], t[:, c:2 * c], t[:, 2 * c:]
 
     # band-limited (Laplacian) levels, coarse-to-fine, blended per level
     ga, gb, gm = split(g[num_levels - 1])
     out = ga * gm + gb * (1.0 - gm)
     for i in range(num_levels - 1, 0, -1):
-        up = pyr_up(g[i])
+        up = pyr_up_planar(g[i])
         ua, ub, _ = split(up)
         pa, pb, pm = split(g[i - 1])
         ls = (pa - ua) * pm + (pb - ub) * (1.0 - pm)
-        out = pyr_up(out) + ls
+        out = pyr_up_planar(out) + ls
     return out
 
 
@@ -121,6 +167,47 @@ def soft_erosion(
     below_max = jnp.max(jnp.where(hard, 0.0, x), axis=(1, 2), keepdims=True)
     out = jnp.where(hard, 1.0, x / jnp.maximum(below_max, 1e-8))
     return out, hard
+
+
+def _soft_erosion_kernel(kernel_size: int) -> np.ndarray:
+    r = kernel_size // 2
+    yy, xx = np.meshgrid(np.arange(kernel_size, dtype=np.float32),
+                         np.arange(kernel_size, dtype=np.float32),
+                         indexing="ij")
+    dist = np.sqrt((xx - r) ** 2 + (yy - r) ** 2)
+    kern = dist.max() - dist
+    return kern / kern.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
+def soft_erosion_planar(
+    t: jnp.ndarray,
+    kernel_size: int = 15,
+    threshold: float = 0.6,
+    iterations: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """soft_erosion on (B, C, H, W) planar masks (channels independent).
+
+    Same math as soft_erosion (normalization per batch/channel); keeps
+    (H, W) minor so 512x512 masks tile the TPU HBM layout exactly instead of
+    padding a tiny channel dim to 128 lanes."""
+    b, c, h, w = t.shape
+    r = kernel_size // 2
+    kern = jnp.asarray(_soft_erosion_kernel(kernel_size))[None, None]
+    x = t.reshape(b * c, 1, h, w)
+
+    def conv(v):
+        return lax.conv_general_dilated(
+            v, kern, (1, 1), ((r, r), (r, r)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    for _ in range(iterations - 1):
+        x = jnp.minimum(x, conv(x))
+    x = conv(x)
+    hard = x >= threshold
+    below_max = jnp.max(jnp.where(hard, 0.0, x), axis=(2, 3), keepdims=True)
+    out = jnp.where(hard, 1.0, x / jnp.maximum(below_max, 1e-8))
+    return out.reshape(b, c, h, w), hard.reshape(b, c, h, w)
 
 
 def gaussian_blur(x: jnp.ndarray, sigma: float, ksize: int | None = None) -> jnp.ndarray:

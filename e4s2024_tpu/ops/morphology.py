@@ -47,3 +47,27 @@ def opening(x: jnp.ndarray, size: int) -> jnp.ndarray:
 
 def closing(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return erosion(dilation(x, size), size)
+
+
+def _window_reduce_planar(t: jnp.ndarray, size: int, op, init) -> jnp.ndarray:
+    pad = size // 2
+    return lax.reduce_window(
+        t, init, op,
+        window_dimensions=(1, 1, size, size),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (pad, size - 1 - pad),
+                 (pad, size - 1 - pad)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def dilation_planar(t: jnp.ndarray, size: int) -> jnp.ndarray:
+    """dilation on (B, C, H, W) planar masks — (H, W) minor tiles the TPU
+    HBM layout exactly (NHWC 1-channel masks pad C to 128 lanes)."""
+    return _window_reduce_planar(t, size, lax.max, -jnp.inf).astype(t.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def erosion_planar(t: jnp.ndarray, size: int) -> jnp.ndarray:
+    """erosion on (B, C, H, W) planar masks."""
+    return _window_reduce_planar(t, size, lax.min, jnp.inf).astype(t.dtype)

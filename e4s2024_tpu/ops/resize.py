@@ -69,3 +69,27 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
 def resize_bilinear_align_corners(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """torch F.interpolate(mode='bilinear', align_corners=True)."""
     return _resize_bilinear_impl(x, size, True)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "align_corners"))
+def resize_bilinear_planar(t: jnp.ndarray, size: tuple[int, int],
+                           align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize on (..., H, W) planar tensors (torch semantics).
+
+    Same math as resize_bilinear; planar layout keeps (H, W) minor, which
+    tiles the TPU HBM layout exactly for mask-sized tensors."""
+    h, w = t.shape[-2], t.shape[-1]
+    th, tw = size
+    if (h, w) == (th, tw):
+        return t
+    dt = t.dtype
+    xf = t.astype(jnp.float32)
+    h0, h1, ty = _linear_weights(th, h, align_corners)
+    w0, w1, tx = _linear_weights(tw, w, align_corners)
+    top = jnp.take(xf, h0, axis=-2)
+    bot = jnp.take(xf, h1, axis=-2)
+    rows = top + (bot - top) * ty[:, None]
+    left = jnp.take(rows, w0, axis=-1)
+    right = jnp.take(rows, w1, axis=-1)
+    out = left + (right - left) * tx
+    return out.astype(dt)

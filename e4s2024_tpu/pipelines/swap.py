@@ -33,9 +33,9 @@ import numpy as np
 from e4s2024_tpu.data.labels import _FFHQ_TO_12, NUM_SEG_CLASSES
 from e4s2024_tpu.models.bisenet import BiSeNet, bicubic_downsample
 from e4s2024_tpu.models.rgi import RGINet
-from e4s2024_tpu.ops.blend import laplacian_pyramid_blend, soft_erosion
-from e4s2024_tpu.ops.morphology import dilation, erosion
-from e4s2024_tpu.ops.resize import resize_bilinear
+from e4s2024_tpu.ops.blend import laplacian_pyramid_blend_planar, soft_erosion_planar
+from e4s2024_tpu.ops.morphology import dilation_planar
+from e4s2024_tpu.ops.resize import resize_bilinear, resize_bilinear_planar
 from e4s2024_tpu.pipelines.mask_merge import swap_head_mask, swap_comp_style_vector
 from e4s2024_tpu.pipelines.alignment import (
     compute_transform_from_landmarks,
@@ -171,31 +171,35 @@ class FaceSwapper:
         bg = jnp.zeros_like(swapped_msk, dtype=bool)
         for c in (0, 11, 4, 7, 8):
             bg = bg | (swapped_msk == c)
-        fg = (~bg) | hole_mask
-        fg = fg[..., None].astype(jnp.float32)  # (B, Hm, Wm, 1)
+        # The whole compositing stage runs PLANAR (B, C, H, W): NHWC tensors
+        # with 1-7 channels pad C to the TPU's 128-lane HBM tile (measured
+        # 5-25 ms PER OP at 512^2 in NHWC); with (H, W) minor the masks tile
+        # the layout exactly and each op drops to its real bandwidth cost.
+        fg = ((~bg) | hole_mask)[:, None].astype(jnp.float32)  # (B,1,Hm,Wm)
 
         r = cfg.outer_dilation
         # erosion(x) == -dilation(-x) for flat structuring elements, so both
         # morphology passes share ONE windowed reduction; the three soft
-        # erosions likewise run as one 3-channel depthwise conv (tiny-channel
-        # ops cost the same as 1-channel ops on the TPU's 128-lane VPU).
-        both = dilation(jnp.concatenate([fg, -fg], axis=-1), 2 * r + 1)
-        full, eroded = both[..., 0:1], -both[..., 1:2]
-        soft, _ = soft_erosion(jnp.concatenate([full, eroded, fg], axis=-1))
-        border = jnp.clip(soft[..., 0:1] - soft[..., 1:2], 0.0, 1.0)
-        content = soft[..., 2:3]
+        # erosions run as one packed planar call.
+        both = dilation_planar(jnp.concatenate([fg, -fg], axis=1), 2 * r + 1)
+        full, eroded = both[:, 0:1], -both[:, 1:2]
+        soft, _ = soft_erosion_planar(
+            jnp.concatenate([full, eroded, fg], axis=1))
+        border = jnp.clip(soft[:, 0:1] - soft[:, 1:2], 0.0, 1.0)
+        content = soft[:, 2:3]
 
         size = (cfg.out_size, cfg.out_size)
-        cb = resize_bilinear(jnp.concatenate([content, border], axis=-1), size)
-        content, border = cb[..., 0:1], cb[..., 1:2]
+        cb = resize_bilinear_planar(
+            jnp.concatenate([content, border], axis=1), size)
+        content, border = cb[:, 0:1], cb[:, 1:2]
 
         # to [0, 255] for blending, as the reference does
-        sw255 = (swapped_pm1 + 1.0) * 127.5
-        tg255 = (target_pm1 + 1.0) * 127.5
+        sw255 = (swapped_pm1.transpose(0, 3, 1, 2) + 1.0) * 127.5
+        tg255 = (target_pm1.transpose(0, 3, 1, 2) + 1.0) * 127.5
         out = sw255 * content + tg255 * (1.0 - content)
-        out = laplacian_pyramid_blend(tg255, out, border,
-                                      num_levels=cfg.num_blend_levels)
-        return jnp.clip(out, 0.0, 255.0)
+        out = laplacian_pyramid_blend_planar(
+            tg255, out, border, num_levels=cfg.num_blend_levels)
+        return jnp.clip(out, 0.0, 255.0).transpose(0, 2, 3, 1)
 
     def _synth_and_composite_p(self, rgi_variables, swapped_sv, swapped_mask,
                                hole_mask, t_pm1):

@@ -147,3 +147,45 @@ def test_compute_transform_shapes():
     assert c.shape == (2,) and x.shape == (2,) and y.shape == (2,)
     q = quad_from_cxy(c, x, y)
     assert q.shape == (4, 2)
+
+
+def test_planar_variants_match_nhwc(rng):
+    """Planar (B, C, H, W) compositing ops must equal their NHWC forms."""
+    from e4s2024_tpu.ops.blend import (
+        pyr_down, pyr_up, pyr_down_planar, pyr_up_planar,
+        soft_erosion, soft_erosion_planar,
+        laplacian_pyramid_blend, laplacian_pyramid_blend_planar,
+    )
+    from e4s2024_tpu.ops.morphology import dilation, dilation_planar
+    from e4s2024_tpu.ops.resize import resize_bilinear, resize_bilinear_planar
+
+    x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    xp = x.transpose(0, 3, 1, 2)
+    to_nhwc = lambda t: np.asarray(t.transpose(0, 2, 3, 1))
+
+    np.testing.assert_allclose(to_nhwc(pyr_down_planar(xp)),
+                               np.asarray(pyr_down(x)), atol=1e-6)
+    np.testing.assert_allclose(to_nhwc(pyr_up_planar(xp)),
+                               np.asarray(pyr_up(x)), atol=1e-6)
+    np.testing.assert_allclose(to_nhwc(dilation_planar(xp, 5)),
+                               np.asarray(dilation(x, 5)), atol=0)
+    np.testing.assert_allclose(to_nhwc(resize_bilinear_planar(xp, (48, 48))),
+                               np.asarray(resize_bilinear(x, (48, 48))),
+                               atol=1e-6)
+
+    m = jnp.asarray((rng.random((2, 32, 32, 2)) > 0.5).astype(np.float32))
+    sp, hp = soft_erosion_planar(m.transpose(0, 3, 1, 2))
+    sn, hn = soft_erosion(m)
+    np.testing.assert_allclose(to_nhwc(sp), np.asarray(sn), atol=1e-6)
+    np.testing.assert_array_equal(to_nhwc(hp.astype(jnp.float32)),
+                                  np.asarray(hn.astype(jnp.float32)))
+
+    a = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32) * 255)
+    b = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32) * 255)
+    mk = jnp.asarray((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32))
+    np.testing.assert_allclose(
+        to_nhwc(laplacian_pyramid_blend_planar(
+            a.transpose(0, 3, 1, 2), b.transpose(0, 3, 1, 2),
+            mk.transpose(0, 3, 1, 2), num_levels=4)),
+        np.asarray(laplacian_pyramid_blend(a, b, mk, num_levels=4)),
+        atol=1e-3)
