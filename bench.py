@@ -35,8 +35,10 @@ def main():
 
     size = 512
     rng = np.random.default_rng(0)
+    # bf16 nets + f32 compositing: v5e profile 26.7 ms vs 28.1 ms f32 e2e
     cfg = SwapConfig(out_size=size, remaining_layer_idx=13,
-                     regional_mode="fast", num_blend_levels=8)
+                     regional_mode="fast", num_blend_levels=8,
+                     compute_dtype="bfloat16")
     rgi = RGINet(out_size=size, remaining_layer_idx=13)
     img = jnp.zeros((1, size, size, 3))
     seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, size, size), int)])

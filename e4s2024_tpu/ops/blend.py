@@ -77,17 +77,55 @@ def _blur_planar(t: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
                for i in range(k))
 
 
+def _down2_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """One axis of cv2.pyrDown as a DECIMATING filter: only the kept (even)
+    output samples are computed (strided slices), instead of blurring the
+    full signal and discarding 3/4 of it."""
+    k = len(taps)
+    p = k // 2
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (p, p)
+    xp = jnp.pad(x, pad, mode="reflect")
+    return sum(
+        float(taps[i]) * lax.slice_in_dim(xp, i, i + n - 1, stride=2,
+                                          axis=axis)
+        for i in range(k))
+
+
 def pyr_down_planar(t: jnp.ndarray) -> jnp.ndarray:
-    """cv2.pyrDown on (..., H, W) planar tensors."""
-    return _blur_planar(t, _PYR_TAPS)[..., ::2, ::2]
+    """cv2.pyrDown on (..., H, W) planar tensors (decimating, fused)."""
+    return _down2_axis(_down2_axis(t, _PYR_TAPS, -2), _PYR_TAPS, -1)
+
+
+def _up2_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+    """One axis of cv2.pyrUp as a POLYPHASE filter — no zero-stuffed scatter
+    (scatters are slow on TPU). Blurring the zero-stuffed signal z (z[2k] =
+    x[k]) with the 5-tap kernel t splits into two small FIRs on x:
+      out[2y]   = t0*x[y-1] + t2*x[y] + t4*x[y+1]
+      out[2y+1] = t1*x[y]   + t3*x[y+1]
+    Border handling matches REFLECT_101 on z: x[-1] -> x[1] (reflect) but
+    x[n] -> x[n-1] (edge), because z's reflected sample z[2n] is z[2n-2]."""
+    n = x.shape[axis]
+    left = lax.slice_in_dim(x, 1, 2, axis=axis)
+    right = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    xp = jnp.concatenate([left, x, right], axis=axis)  # x[-1..n]
+
+    def sl(lo):
+        return lax.slice_in_dim(xp, lo, lo + n, axis=axis)
+
+    t0, t1, t2, t3, t4 = (float(v) for v in taps)
+    even = t0 * sl(0) + t2 * sl(1) + t4 * sl(2)
+    odd = t1 * sl(1) + t3 * sl(2)
+    ax = axis if axis >= 0 else x.ndim + axis
+    out = jnp.stack([even, odd], axis=ax + 1)
+    return out.reshape(x.shape[:ax] + (2 * n,) + x.shape[ax + 1:])
 
 
 def pyr_up_planar(t: jnp.ndarray) -> jnp.ndarray:
-    """cv2.pyrUp on (..., H, W) planar tensors."""
-    h, w = t.shape[-2], t.shape[-1]
-    up = jnp.zeros(t.shape[:-2] + (2 * h, 2 * w), t.dtype)
-    up = up.at[..., ::2, ::2].set(t)
-    return _blur_planar(up, _PYR_TAPS * 2.0)
+    """cv2.pyrUp on (..., H, W) planar tensors (polyphase, scatter-free)."""
+    taps = _PYR_TAPS * 2.0
+    return _up2_axis(_up2_axis(t, taps, -2), taps, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_levels",))

@@ -45,7 +45,7 @@ def test_pose_drive_registry():
 
 def test_inpaint_registry():
     from e4s2024_tpu.pipelines.inpaint_registry import make_inpainter
-    with pytest.raises(NotImplementedError, match="MISF"):
-        make_inpainter("misf")
+    with pytest.raises(ValueError, match="MISF"):
+        make_inpainter("misf")  # implemented, but needs converted params
     with pytest.raises(KeyError):
         make_inpainter("nah")
