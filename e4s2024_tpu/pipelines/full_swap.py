@@ -186,8 +186,8 @@ class FullFaceSwapPipeline:
                 sw.rgi, sw.rgi_variables, crit, img, onehot[i:i + 1],
                 steps=self.cfg.optimize_w_steps, lr=self.cfg.optimize_w_lr)
             svs.append(sv)
-        t_pm1 = jnp.asarray(target255[None], jnp.float32) / 127.5 - 1.0
-        return sw._merge_jit(masks[0:1], masks[1:2], svs[0], svs[1], t_pm1)
+        t255 = jnp.asarray(target255[None], jnp.float32)
+        return sw._merge_jit(masks[0:1], masks[1:2], svs[0], svs[1], t255)
 
     def _package(self, swapped, driven, result):
         return {

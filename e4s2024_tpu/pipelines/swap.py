@@ -49,6 +49,19 @@ _SEG_MEAN = jnp.asarray([0.485, 0.456, 0.406])
 _SEG_STD = jnp.asarray([0.229, 0.224, 0.225])
 
 
+def _as_u8(x) -> jnp.ndarray:
+    """To uint8 [0,255] — on host for numpy inputs (so only 1/4 of the bytes
+    cross the device tunnel), on device for already-resident arrays."""
+    if isinstance(x, np.ndarray):
+        if x.dtype == np.uint8:
+            return jnp.asarray(x)
+        return jnp.asarray(np.clip(x, 0, 255).astype(np.uint8))
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        return x
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
 @dataclass
 class SwapConfig:
     out_size: int = 1024
@@ -106,7 +119,8 @@ class FaceSwapper:
         if config.jit_mode == "fused":
             self._swap_fused_jit = jax.jit(self._swap_aligned_p)
             self._swap_jit = (lambda d, t: self._swap_fused_jit(
-                self.rgi_variables, self.bisenet_params, d, t))
+                self.rgi_variables, self.bisenet_params, _as_u8(d),
+                _as_u8(t)))
         else:
             self._swap_jit = self._swap_staged
             self._parse_p_jit = jax.jit(self._parse12_p)
@@ -199,7 +213,11 @@ class FaceSwapper:
         out = sw255 * content + tg255 * (1.0 - content)
         out = laplacian_pyramid_blend_planar(
             tg255, out, border, num_levels=cfg.num_blend_levels)
-        return jnp.clip(out, 0.0, 255.0).transpose(0, 2, 3, 1)
+        # emit uint8: the callers all quantize to uint8 anyway, and a 512^2
+        # uint8 image streams 4x fewer bytes off-device than f32 (per-call IO
+        # is the measured floor on tunneled backends)
+        out = jnp.clip(out, 0.0, 255.0).transpose(0, 2, 3, 1)
+        return out.astype(jnp.uint8)
 
     def _synth_and_composite_p(self, rgi_variables, swapped_sv, swapped_mask,
                                hole_mask, t_pm1):
@@ -220,13 +238,15 @@ class FaceSwapper:
                                swapped_mask, hole_mask)
 
     def _merge_synth_composite_p(self, rgi_variables, d_masks, t_masks, d_sv,
-                                 t_sv, t_pm1):
+                                 t_sv, t255):
         """Stages 3b-5 in ONE program: mask merge + style mixing + synthesis +
         compositing, batched over swaps — minimizes per-call dispatches on
         high-latency backends.
 
-        d_masks/t_masks: (B, Hm, Wm); d_sv/t_sv: (B, K, D); t_pm1: (B, S, S, 3).
+        d_masks/t_masks: (B, Hm, Wm); d_sv/t_sv: (B, K, D);
+        t255: (B, S, S, 3) uint8 (or float in [0, 255]).
         """
+        t_pm1 = t255.astype(jnp.float32) / 127.5 - 1.0
         merged = jax.vmap(lambda a, b: swap_head_mask(a, b))(d_masks, t_masks)
         comp = jnp.asarray(sorted(set(range(self.cfg.num_seg_cls))
                                   - set(self.cfg.keep_target_components)))
@@ -246,8 +266,10 @@ class FaceSwapper:
                                            swapped_mask, hole_mask, t_pm1)
 
     def _parse_invert_p(self, rgi_variables, bisenet_params, pair255):
-        """Stages 1-2 in ONE program over the (driven, target) pair batch."""
-        img01 = pair255 / 255.0
+        """Stages 1-2 in ONE program over the (driven, target) pair batch.
+
+        pair255: (2B, S, S, 3) uint8 (or float in [0, 255])."""
+        img01 = pair255.astype(jnp.float32) / 255.0
         masks = self._parse12_p(bisenet_params, img01)
         onehot = self._onehot(masks)
         sv = self._style_vectors_p(rgi_variables, img01 * 2.0 - 1.0, onehot)
@@ -259,11 +281,9 @@ class FaceSwapper:
 
         driven255/target255: (B, S, S, 3) — B swaps at once."""
         b = driven255.shape[0]
-        pair = jnp.concatenate([jnp.asarray(driven255),
-                                jnp.asarray(target255)], axis=0)
-        masks, sv = self._pair_jit(pair)
-        t_pm1 = jnp.asarray(target255) / 127.5 - 1.0
-        return self._merge_jit(masks[:b], masks[b:], sv[:b], sv[b:], t_pm1)
+        d_u8, t_u8 = _as_u8(driven255), _as_u8(target255)
+        masks, sv = self._pair_jit(jnp.concatenate([d_u8, t_u8], axis=0))
+        return self._merge_jit(masks[:b], masks[b:], sv[:b], sv[b:], t_u8)
 
     def _swap_aligned_p(self, rgi_variables, bisenet_params, driven255,
                         target255):
@@ -278,21 +298,22 @@ class FaceSwapper:
     def _swap_aligned(self, driven255, target255):
         """driven/target: (B, S, S, 3) float32 aligned crops in [0, 255].
 
-        Returns dict with swapped image [0,255], swapped mask, hole mask —
+        Returns dict with swapped uint8 image, swapped mask, hole mask —
         same math as the staged path, expressed as one traceable function."""
         b = driven255.shape[0]
         pair = jnp.concatenate([driven255, target255], axis=0)
         masks, sv = self._parse_invert_p(
             self.rgi_variables, self.bisenet_params, pair)
-        t_pm1 = target255 / 127.5 - 1.0
         return self._merge_synth_composite_p(
-            self.rgi_variables, masks[:b], masks[b:], sv[:b], sv[b:], t_pm1)
+            self.rgi_variables, masks[:b], masks[b:], sv[:b], sv[b:],
+            target255)
 
     # ---------------- host-side orchestration ----------------
 
     def swap_aligned(self, driven255, target255):
-        """Jitted aligned-crop swap. Inputs (1, S, S, 3) float32 in [0, 255]."""
-        return self._swap_jit(jnp.asarray(driven255), jnp.asarray(target255))
+        """Jitted aligned-crop swap. Inputs (B, S, S, 3) uint8 or float in
+        [0, 255]; the swapped image comes back uint8."""
+        return self._swap_jit(_as_u8(driven255), _as_u8(target255))
 
     def swap(self, source_img: np.ndarray, target_img: np.ndarray) -> np.ndarray:
         """Full swap with alignment + paste-back; needs `landmark_fn`.
@@ -314,7 +335,7 @@ class FaceSwapper:
             quads.append(quad)
 
         result = self.swap_aligned(crops[0], crops[1])
-        swapped = result["image"][0]
+        swapped = result["image"][0].astype(jnp.float32)
 
         coeffs = paste_back_coefficients(quads[1], s)
         projected = warp_perspective(swapped, jnp.asarray(coeffs),

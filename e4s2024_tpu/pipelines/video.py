@@ -186,7 +186,8 @@ class FaceSwapVideoPipeline:
             )
             coeffs = paste_back_coefficients(t_quads[i], s)
             frame = jnp.asarray(frames[i], jnp.float32)
-            projected = warp_perspective(out255[0], jnp.asarray(coeffs),
+            projected = warp_perspective(out255[0].astype(jnp.float32),
+                                         jnp.asarray(coeffs),
                                          frame.shape[:2])
             alpha = warp_perspective(jnp.ones((s, s, 1)), jnp.asarray(coeffs),
                                      frame.shape[:2])

@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--fused", action="store_true",
+                    help="time the single-program (jit_mode=fused) swap only")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +64,8 @@ def main():
     rng = np.random.default_rng(0)
     cfg = SwapConfig(out_size=size, remaining_layer_idx=13,
                      regional_mode="fast", num_blend_levels=8,
-                     compute_dtype=args.dtype)
+                     compute_dtype=args.dtype,
+                     jit_mode="fused" if args.fused else "staged")
     rgi = RGINet(out_size=size, remaining_layer_idx=13)
     img = jnp.zeros((1, size, size, 3))
     seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, size, size), int)])
@@ -71,8 +74,8 @@ def main():
                                    jnp.zeros((1, 512, 512, 3)))["params"]
     sw = FaceSwapper(rgi_vars, bise, cfg)
 
-    a = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.float32))
-    b = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.float32))
+    a = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.uint8))
+    b = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.uint8))
     pair = jnp.concatenate([a, b], axis=0)
 
     sync_img = lambda o: np.asarray(o["image"])[0, 0, 0, 0]
@@ -80,24 +83,28 @@ def main():
     sync_tup = lambda o: np.asarray(o[0]).reshape(-1)[0]
 
     it = args.iters
-    print(f"profile @ {size}px dtype={args.dtype} iters={it}")
+    print(f"profile @ {size}px dtype={args.dtype} iters={it} "
+          f"mode={sw.cfg.jit_mode}")
     bench("e2e", lambda: sw.swap_aligned(a, b), sync_img, it)
+    if args.fused:
+        return
     bench("pair", lambda: sw._pair_jit(pair), sync_tup, it)
 
     masks, sv = sw._pair_jit(pair)
-    t_pm1 = b / 127.5 - 1.0
+    t_pm1 = jnp.asarray(b, jnp.float32) / 127.5 - 1.0
     bench("merge", lambda: sw._merge_jit(masks[:1], masks[1:], sv[:1],
-                                         sv[1:], t_pm1), sync_img, it)
+                                         sv[1:], b), sync_img, it)
 
-    merged = sw._merge_jit(masks[:1], masks[1:], sv[:1], sv[1:], t_pm1)
+    merged = sw._merge_jit(masks[:1], masks[1:], sv[:1], sv[1:], b)
     bench("synth", lambda: sw._synth_jit(merged["swapped_style_vectors"],
                                          merged["swapped_mask"],
                                          merged["hole_mask"], t_pm1),
           sync_arr, it)
 
-    bench("parse", lambda: sw._parse_jit(a / 255.0), sync_arr, it)
+    a_f = jnp.asarray(a, jnp.float32)
+    bench("parse", lambda: sw._parse_jit(a_f / 255.0), sync_arr, it)
     onehot = sw._onehot(masks[:1])
-    bench("invert", lambda: sw._invert_jit(a / 127.5 - 1.0, onehot),
+    bench("invert", lambda: sw._invert_jit(a_f / 127.5 - 1.0, onehot),
           sync_arr, it)
 
     # split the synth program: pure generator vs pure compositing
