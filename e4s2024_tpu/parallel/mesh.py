@@ -19,9 +19,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
-    """1-D mesh over the first n devices (default: all)."""
+    """1-D mesh over the first n devices (default: all).
+
+    Raises if fewer than n_devices are available — silently shrinking the
+    mesh would let a "multi-chip" run degrade to single-device unnoticed
+    (for virtual CPU devices set XLA_FLAGS=--xla_force_host_platform_
+    device_count=N before jax initializes)."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are visible on platform "
+                f"{devs[0].platform if devs else '?'}")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
