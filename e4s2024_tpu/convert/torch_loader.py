@@ -697,3 +697,84 @@ def convert_misf(sd: Mapping[str, np.ndarray]) -> dict:
         }
         i += 1
     return params
+
+
+def _tps_cn(sd, name):
+    # conv + InstanceNorm(affine) block (TPSMM util.py Same/Down/Up blocks)
+    return {"conv": _conv(sd, f"{name}.conv"),
+            "norm": {"scale": sd[f"{name}.norm.weight"],
+                     "bias": sd[f"{name}.norm.bias"]}}
+
+
+def _tps_res(sd, name):
+    return {
+        "conv1": _conv(sd, f"{name}.conv1"),
+        "conv2": _conv(sd, f"{name}.conv2"),
+        "norm1": {"scale": sd[f"{name}.norm1.weight"],
+                  "bias": sd[f"{name}.norm1.bias"]},
+        "norm2": {"scale": sd[f"{name}.norm2.weight"],
+                  "bias": sd[f"{name}.norm2.bias"]},
+    }
+
+
+def _tps_hourglass(sd, name, num_blocks):
+    params: dict[str, Any] = {}
+    for i in range(num_blocks):
+        params[f"down{i}"] = _tps_cn(sd, f"{name}.encoder.down_blocks.{i}")
+        params[f"up{i}"] = _tps_cn(sd, f"{name}.decoder.up_blocks.{i}")
+    return params
+
+
+def convert_tpsmm(ckpt: Mapping[str, Mapping[str, np.ndarray]],
+                  num_blocks: int = 5, num_down_blocks: int = 3,
+                  up_nums: int = 2, occlusion_num: int = 4) -> dict:
+    """Map a TPSMM checkpoint (reference TPSMM/demo.py:35 load_checkpoints:
+    dict of per-net state dicts) onto TPSMMDriver params.
+
+    The torch module registers inpainting up_blocks/resblocks already
+    reversed (inpainting_network.py:33-34), so indices map 1:1. The
+    anti-alias kernel is a fixed buffer (rebuilt, not loaded); avd_network
+    is only used in 'avd' animate mode and is skipped."""
+    kp_sd = strip_module_prefix(ckpt["kp_detector"])
+    dm_sd = strip_module_prefix(ckpt["dense_motion_network"])
+    in_sd = strip_module_prefix(ckpt["inpainting_network"])
+
+    kp: dict[str, Any] = {
+        "conv1": _conv(kp_sd, "fg_encoder.conv1"),
+        "bn1": _bn(kp_sd, "fg_encoder.bn1"),
+        "fc": _linear(kp_sd, "fg_encoder.fc"),
+    }
+    for li in range(1, 5):
+        for bi in range(2):
+            t = f"fg_encoder.layer{li}.{bi}"
+            blk = {
+                "conv1": _conv(kp_sd, f"{t}.conv1"),
+                "bn1": _bn(kp_sd, f"{t}.bn1"),
+                "conv2": _conv(kp_sd, f"{t}.conv2"),
+                "bn2": _bn(kp_sd, f"{t}.bn2"),
+            }
+            if f"{t}.downsample.0.weight" in kp_sd:
+                blk["down_conv"] = _conv(kp_sd, f"{t}.downsample.0")
+                blk["down_bn"] = _bn(kp_sd, f"{t}.downsample.1")
+            kp[f"layer{li}_{bi}"] = blk
+
+    dm: dict[str, Any] = {
+        "hourglass": _tps_hourglass(dm_sd, "hourglass", num_blocks),
+        "maps": _conv(dm_sd, "maps"),
+    }
+    for i in range(occlusion_num):
+        dm[f"occlusion{i}"] = _conv(dm_sd, f"occlusion.{i}")
+    for i in range(up_nums):
+        dm[f"up{i}"] = _tps_cn(dm_sd, f"up.{i}")
+
+    inp: dict[str, Any] = {
+        "first": _tps_cn(in_sd, "first"),
+        "final": _conv(in_sd, "final"),
+    }
+    for i in range(num_down_blocks):
+        inp[f"down{i}"] = _tps_cn(in_sd, f"down_blocks.{i}")
+        inp[f"up{i}"] = _tps_cn(in_sd, f"up_blocks.{i}")
+    for i in range(2 * num_down_blocks):
+        inp[f"res{i}"] = _tps_res(in_sd, f"resblock.{i}")
+
+    return {"kp_detector": kp, "dense_motion": dm, "inpainting": inp}

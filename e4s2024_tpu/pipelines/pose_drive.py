@@ -4,8 +4,9 @@ The reference selects among faceVid2Vid / TPSMM / DaGAN / LIA / PIRender via
 `pose_drive` (reference Face_swap_with_two_imgs.py:705-769). Its own README
 notes only faceVid2Vid ships with public checkpoints — the others point at
 internal cluster paths (SURVEY.md §2.8). This registry mirrors that surface:
-faceVid2Vid is implemented (e4s2024_tpu.models.facevid2vid); the others raise
-with a clear message until their checkpoints/ports land.
+faceVid2Vid (e4s2024_tpu.models.facevid2vid) and TPSMM
+(e4s2024_tpu.models.tpsmm) are implemented; the rest raise with a clear
+message until their checkpoints/ports land.
 """
 
 from __future__ import annotations
@@ -29,7 +30,19 @@ def _facevid2vid(params: dict, **kw):
     return FaceVid2VidDriver(params, **kw)
 
 
-for _name in ("TPSMM", "DaGAN", "LIA", "PIRender"):
+@register_pose_driver("TPSMM")
+def _tpsmm(params: dict, **kw):
+    if params is None:
+        raise ValueError(
+            "TPSMM needs converted params (the reference's checkpoint is an "
+            "internal cluster path, TPSMM/demo.py:145; convert your own via "
+            "convert.torch_loader.convert_tpsmm)")
+    from e4s2024_tpu.models.tpsmm import TPSMMDriver
+
+    return TPSMMDriver(params, **kw)
+
+
+for _name in ("DaGAN", "LIA", "PIRender"):
     def _missing(params=None, _n=_name, **kw):
         raise NotImplementedError(
             f"pose-drive backend {_n!r} has no public checkpoint in the "
