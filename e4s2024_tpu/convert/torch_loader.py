@@ -778,3 +778,106 @@ def convert_tpsmm(ckpt: Mapping[str, Mapping[str, np.ndarray]],
         inp[f"res{i}"] = _tps_res(in_sd, f"resblock.{i}")
 
     return {"kp_detector": kp, "dense_motion": dm, "inpainting": inp}
+
+
+def _fomm_cn(sd, name):
+    # conv + (frozen, affine) BatchNorm block (DaGAN util.py Same/Down/Up)
+    return {"conv": _conv(sd, f"{name}.conv"),
+            "norm": _bn(sd, f"{name}.norm")}
+
+
+def _fomm_res(sd, name):
+    return {"conv1": _conv(sd, f"{name}.conv1"),
+            "conv2": _conv(sd, f"{name}.conv2"),
+            "norm1": _bn(sd, f"{name}.norm1"),
+            "norm2": _bn(sd, f"{name}.norm2")}
+
+
+def _fomm_hourglass(sd, name, num_blocks):
+    params: dict[str, Any] = {}
+    for i in range(num_blocks):
+        params[f"down{i}"] = _fomm_cn(sd, f"{name}.encoder.down_blocks.{i}")
+        params[f"up{i}"] = _fomm_cn(sd, f"{name}.decoder.up_blocks.{i}")
+    return params
+
+
+def _resnet_bottleneck(sd, name):
+    blk = {}
+    for j in (1, 2, 3):
+        blk[f"conv{j}"] = _conv(sd, f"{name}.conv{j}")
+        blk[f"bn{j}"] = _bn(sd, f"{name}.bn{j}")
+    if f"{name}.downsample.0.weight" in sd:
+        blk["down_conv"] = _conv(sd, f"{name}.downsample.0")
+        blk["down_bn"] = _bn(sd, f"{name}.downsample.1")
+    return blk
+
+
+def convert_dagan(generator_sd: Mapping[str, np.ndarray],
+                  kp_sd: Mapping[str, np.ndarray],
+                  depth_enc_sd: Mapping[str, np.ndarray],
+                  depth_dec_sd: Mapping[str, np.ndarray],
+                  num_kp: int = 15, num_blocks: int = 5,
+                  num_down_blocks: int = 2, num_bottleneck: int = 6,
+                  resnet_layers: tuple = (3, 4, 6, 3)) -> dict:
+    """Map DaGAN checkpoints (reference drive_demo.py:25/140: the main
+    ckpt's 'generator'/'kp_detector' plus monodepth2 encoder.pth/depth.pth)
+    onto DaGANDriver params. Anti-alias kernels are fixed buffers (rebuilt)."""
+    generator_sd = strip_module_prefix(generator_sd)
+    kp_sd = strip_module_prefix(kp_sd)
+    depth_enc_sd = strip_module_prefix(depth_enc_sd)
+    depth_dec_sd = strip_module_prefix(depth_dec_sd)
+
+    gen: dict[str, Any] = {
+        "first": _fomm_cn(generator_sd, "first"),
+        "src_first": _fomm_cn(generator_sd, "src_first"),
+        "final": _conv(generator_sd, "final"),
+        "AttnModule": {
+            "query_conv": _conv(generator_sd, "AttnModule.query_conv"),
+            "key_conv": _conv(generator_sd, "AttnModule.key_conv"),
+            "value_conv": _conv(generator_sd, "AttnModule.value_conv"),
+            "gamma": generator_sd["AttnModule.gamma"],
+        },
+    }
+    for i in range(num_down_blocks):
+        gen[f"down{i}"] = _fomm_cn(generator_sd, f"down_blocks.{i}")
+        gen[f"src_down{i}"] = _fomm_cn(generator_sd, f"src_down_blocks.{i}")
+        gen[f"up{i}"] = _fomm_cn(generator_sd, f"up_blocks.{i}")
+    for i in range(num_bottleneck):
+        gen[f"bottleneck_r{i}"] = _fomm_res(generator_sd,
+                                            f"bottleneck.r{i}")
+    gen["dense_motion_network"] = {
+        "hourglass": _fomm_hourglass(generator_sd,
+                                     "dense_motion_network.hourglass",
+                                     num_blocks),
+        "mask": _conv(generator_sd, "dense_motion_network.mask"),
+        "occlusion": _conv(generator_sd, "dense_motion_network.occlusion"),
+    }
+
+    kp: dict[str, Any] = {
+        "predictor": _fomm_hourglass(kp_sd, "predictor", num_blocks),
+        "kp": _conv(kp_sd, "kp"),
+    }
+    if "jacobian.weight" in kp_sd:
+        kp["jacobian"] = _conv(kp_sd, "jacobian")
+
+    enc: dict[str, Any] = {
+        "conv1": _conv(depth_enc_sd, "encoder.conv1"),
+        "bn1": _bn(depth_enc_sd, "encoder.bn1"),
+    }
+    for li, n in enumerate(resnet_layers):
+        for bi in range(n):
+            enc[f"layer{li + 1}_{bi}"] = _resnet_bottleneck(
+                depth_enc_sd, f"encoder.layer{li + 1}.{bi}")
+
+    # decoder ModuleList order (depth_decoder.py:30-47): upconv (4..0, j=0,1)
+    # then dispconv scales 0..3
+    dec: dict[str, Any] = {}
+    for i in range(4, -1, -1):
+        for j in (0, 1):
+            n = 2 * (4 - i) + j
+            dec[f"upconv_{i}_{j}"] = _conv(depth_dec_sd,
+                                           f"decoder.{n}.conv.conv")
+    dec["dispconv_0"] = _conv(depth_dec_sd, "decoder.10.conv")
+
+    return {"generator": gen, "kp_detector": kp,
+            "depth_encoder": enc, "depth_decoder": dec}

@@ -4,9 +4,10 @@ The reference selects among faceVid2Vid / TPSMM / DaGAN / LIA / PIRender via
 `pose_drive` (reference Face_swap_with_two_imgs.py:705-769). Its own README
 notes only faceVid2Vid ships with public checkpoints — the others point at
 internal cluster paths (SURVEY.md §2.8). This registry mirrors that surface:
-faceVid2Vid (e4s2024_tpu.models.facevid2vid) and TPSMM
-(e4s2024_tpu.models.tpsmm) are implemented; the rest raise with a clear
-message until their checkpoints/ports land.
+faceVid2Vid (models.facevid2vid), TPSMM (models.tpsmm) and DaGAN
+(models.dagan) are implemented; LIA and PIRender raise with a clear message
+(PIRender additionally depends on Deep3DFaceRecon + BFM morphable-model
+assets the reference does not ship).
 """
 
 from __future__ import annotations
@@ -42,7 +43,19 @@ def _tpsmm(params: dict, **kw):
     return TPSMMDriver(params, **kw)
 
 
-for _name in ("DaGAN", "LIA", "PIRender"):
+@register_pose_driver("DaGAN")
+def _dagan(params: dict, **kw):
+    if params is None:
+        raise ValueError(
+            "DaGAN needs converted params (the reference's checkpoints are "
+            "internal cluster paths, face_swap_for_video.py:311-313; convert "
+            "your own via convert.torch_loader.convert_dagan)")
+    from e4s2024_tpu.models.dagan import DaGANDriver
+
+    return DaGANDriver(params, **kw)
+
+
+for _name in ("LIA", "PIRender"):
     def _missing(params=None, _n=_name, **kw):
         raise NotImplementedError(
             f"pose-drive backend {_n!r} has no public checkpoint in the "

@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--fused", action="store_true",
                     help="time the single-program (jit_mode=fused) swap only")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="swaps per call (throughput = batch * calls/s)")
     args = ap.parse_args()
 
     import jax
@@ -74,8 +76,9 @@ def main():
                                    jnp.zeros((1, 512, 512, 3)))["params"]
     sw = FaceSwapper(rgi_vars, bise, cfg)
 
-    a = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.uint8))
-    b = jnp.asarray((rng.random((1, size, size, 3)) * 255).astype(np.uint8))
+    nb = args.batch
+    a = jnp.asarray((rng.random((nb, size, size, 3)) * 255).astype(np.uint8))
+    b = jnp.asarray((rng.random((nb, size, size, 3)) * 255).astype(np.uint8))
     pair = jnp.concatenate([a, b], axis=0)
 
     sync_img = lambda o: np.asarray(o["image"])[0, 0, 0, 0]
@@ -84,8 +87,10 @@ def main():
 
     it = args.iters
     print(f"profile @ {size}px dtype={args.dtype} iters={it} "
-          f"mode={sw.cfg.jit_mode}")
-    bench("e2e", lambda: sw.swap_aligned(a, b), sync_img, it)
+          f"mode={sw.cfg.jit_mode} batch={nb}")
+    dt = bench("e2e", lambda: sw.swap_aligned(a, b), sync_img, it)
+    if nb > 1:
+        print(f"throughput: {nb / dt:.1f} swaps/s at batch {nb}")
     if args.fused:
         return
     bench("pair", lambda: sw._pair_jit(pair), sync_tup, it)
