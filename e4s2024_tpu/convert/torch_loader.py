@@ -881,3 +881,57 @@ def convert_dagan(generator_sd: Mapping[str, np.ndarray],
 
     return {"generator": gen, "kp_detector": kp,
             "depth_encoder": enc, "depth_decoder": dec}
+
+
+def _convlayer(sd, name, downsample=False):
+    # reference ConvLayer Sequential: [Blur,] EqualConv2d, FusedLeakyReLU
+    i = 1 if downsample else 0
+    return {"conv": _conv(sd, f"{name}.{i}", "weight"),
+            "act_bias": sd[f"{name}.{i + 1}.bias"]}
+
+
+def _sg2_resblock(sd, name):
+    return {
+        "conv1": _convlayer(sd, f"{name}.conv1"),
+        "conv2": _convlayer(sd, f"{name}.conv2", downsample=True),
+        "skip": {"conv": _conv(sd, f"{name}.skip.1", "weight")},
+    }
+
+
+def convert_lia(sd: Mapping[str, np.ndarray], size: int = 256) -> dict:
+    """Map a LIA checkpoint's 'gen' state dict (reference LIA/run_demo.py:64)
+    onto LIAGenerator params. dec.to_rgb1 exists in torch but is unused by
+    Synthesis.forward and is dropped."""
+    import math
+
+    sd = strip_module_prefix(sd)
+    log_size = int(math.log2(size))
+
+    net_app: dict[str, Any] = {
+        "conv0": _convlayer(sd, "enc.net_app.convs.0"),
+        "final": {"weight": np.ascontiguousarray(
+            sd[f"enc.net_app.convs.{log_size - 1}.weight"]
+            .transpose(2, 3, 1, 0))},
+    }
+    for j in range(log_size - 2):
+        net_app[f"res{j}"] = _sg2_resblock(sd, f"enc.net_app.convs.{j + 1}")
+    enc = {"net_app": net_app}
+    for i in range(5):
+        enc[f"fc{i}"] = _linear(sd, f"enc.fc.{i}")
+
+    dec: dict[str, Any] = {
+        "direction": {"weight": sd["dec.direction.weight"]},
+        "input": np.ascontiguousarray(
+            sd["dec.input.input"].transpose(0, 2, 3, 1)),
+        "conv1": _styled_conv(sd, "dec.conv1"),
+    }
+    for i in range(2 * (log_size - 2)):
+        dec[f"convs_{i}"] = _styled_conv(sd, f"dec.convs.{i}")
+    for j in range(log_size - 2):
+        dec[f"to_rgbs_{j}"] = _to_rgb(sd, f"dec.to_rgbs.{j}")
+        dec[f"to_flows_{j}"] = {
+            "conv": _modconv(sd, f"dec.to_flows.{j}.conv"),
+            "bias": np.ascontiguousarray(
+                sd[f"dec.to_flows.{j}.bias"].transpose(0, 2, 3, 1)),
+        }
+    return {"enc": enc, "dec": dec}

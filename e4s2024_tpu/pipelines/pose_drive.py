@@ -4,9 +4,9 @@ The reference selects among faceVid2Vid / TPSMM / DaGAN / LIA / PIRender via
 `pose_drive` (reference Face_swap_with_two_imgs.py:705-769). Its own README
 notes only faceVid2Vid ships with public checkpoints — the others point at
 internal cluster paths (SURVEY.md §2.8). This registry mirrors that surface:
-faceVid2Vid (models.facevid2vid), TPSMM (models.tpsmm) and DaGAN
-(models.dagan) are implemented; LIA and PIRender raise with a clear message
-(PIRender additionally depends on Deep3DFaceRecon + BFM morphable-model
+faceVid2Vid (models.facevid2vid), TPSMM (models.tpsmm), DaGAN
+(models.dagan) and LIA (models.lia) are implemented; PIRender raises with a
+clear message (it depends on Deep3DFaceRecon + licensed BFM morphable-model
 assets the reference does not ship).
 """
 
@@ -55,7 +55,19 @@ def _dagan(params: dict, **kw):
     return DaGANDriver(params, **kw)
 
 
-for _name in ("LIA", "PIRender"):
+@register_pose_driver("LIA")
+def _lia(params: dict, **kw):
+    if params is None:
+        raise ValueError(
+            "LIA needs converted params (the reference's checkpoint is an "
+            "internal cluster path, LIA/run_demo.py:54; convert your own "
+            "via convert.torch_loader.convert_lia)")
+    from e4s2024_tpu.models.lia import LIADriver
+
+    return LIADriver(params, **kw)
+
+
+for _name in ("PIRender",):
     def _missing(params=None, _n=_name, **kw):
         raise NotImplementedError(
             f"pose-drive backend {_n!r} has no public checkpoint in the "
