@@ -67,12 +67,15 @@ def _lia(params: dict, **kw):
     return LIADriver(params, **kw)
 
 
-for _name in ("PIRender",):
-    def _missing(params=None, _n=_name, **kw):
-        raise NotImplementedError(
-            f"pose-drive backend {_n!r} has no public checkpoint in the "
-            "reference (internal cluster paths only); use 'faceVid2Vid'")
-    _BACKENDS[_name] = _missing
+def _pirender_missing(params=None, **kw):
+    raise NotImplementedError(
+        "pose-drive backend 'PIRender' is not runnable even in the reference:"
+        " it imports Deep3DFaceRecon_pytorch.drive, a package the reference "
+        "does not ship (face_swap_for_video.py:285), and depends on licensed "
+        "BFM 3DMM assets; use 'faceVid2Vid', 'TPSMM', 'DaGAN' or 'LIA'")
+
+
+_BACKENDS["PIRender"] = _pirender_missing
 
 
 def make_pose_driver(name: str, params: dict | None = None, **kw):

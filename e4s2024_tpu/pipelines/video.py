@@ -41,6 +41,21 @@ from e4s2024_tpu.models.rgi import RGINet
 from e4s2024_tpu.training.pti import PTICoach, PTIConfig
 from e4s2024_tpu.utils.image import from_pm1, to_pm1
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("fh", "fw"))
+def _paste_back_jit(crop_u8, frame_u8, coeffs, fh, fw):
+    """Warp the swapped crop onto the full frame and alpha-compose (one XLA
+    program: 2 perspective warps + blend + uint8 quantize)."""
+    s = crop_u8.shape[0]
+    crop = crop_u8.astype(jnp.float32)
+    frame = frame_u8.astype(jnp.float32)
+    projected = warp_perspective(crop, coeffs, (fh, fw))
+    alpha = warp_perspective(jnp.ones((s, s, 1)), coeffs, (fh, fw))
+    out = projected * alpha + frame * (1.0 - alpha)
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
 
 @dataclass
 class VideoSwapConfig:
@@ -142,21 +157,17 @@ class FaceSwapVideoPipeline:
         d_sv = self.style_vectors(driven, d_labels)
         t_sv = self.style_vectors(t_crops, t_labels)
 
-        # 5-6. mask merge + style mixing per frame
+        # 5-6. mask merge + style mixing, ALL frames in two jitted batched
+        # calls (a per-frame eager loop costs a dispatch round-trip per op on
+        # high-latency device transports)
         comp = np.asarray(sorted(set(range(cfg.num_seg_cls))
                                  - set(cfg.keep_target_components)))
-        merged_masks, holes, swapped_svs = [], [], []
-        for i in range(len(t_crops)):
-            m = swap_head_mask(jnp.asarray(d_labels[i]), jnp.asarray(t_labels[i]))
-            sv = swap_comp_style_vector(jnp.asarray(t_sv[i:i + 1]),
-                                        jnp.asarray(d_sv[i:i + 1]),
-                                        jnp.asarray(comp))
-            merged_masks.append(np.asarray(m["mask"]))
-            holes.append(np.asarray(m["hole_mask"]))
-            swapped_svs.append(np.asarray(sv[0]))
-        merged_masks = np.stack(merged_masks)
-        holes = np.stack(holes)
-        swapped_svs = np.stack(swapped_svs)
+        merged = jax.jit(jax.vmap(swap_head_mask))(jnp.asarray(d_labels),
+                                                   jnp.asarray(t_labels))
+        swapped_svs = np.asarray(jax.jit(swap_comp_style_vector)(
+            jnp.asarray(t_sv), jnp.asarray(d_sv), jnp.asarray(comp)))
+        merged_masks = np.asarray(merged["mask"])
+        holes = np.asarray(merged["hole_mask"])
 
         # 5b. PTI tuning of the generator on this clip
         variables = self.swapper.rgi_variables
@@ -175,7 +186,9 @@ class FaceSwapVideoPipeline:
             # without retracing
             self.swapper.rgi_variables = variables
 
-        # 6-7. synthesize + composite + paste back
+        # 6-7. synthesize + composite + paste back; the paste-back (two
+        # perspective warps + alpha compose + quantize) is ONE jitted program
+        # per frame shape instead of several eager dispatches per frame
         outputs = []
         for i in range(len(t_crops)):
             out255 = self.swapper._synth_jit(
@@ -185,12 +198,9 @@ class FaceSwapVideoPipeline:
                 jnp.asarray(to_pm1(t_crops[i:i + 1])),
             )
             coeffs = paste_back_coefficients(t_quads[i], s)
-            frame = jnp.asarray(frames[i], jnp.float32)
-            projected = warp_perspective(out255[0].astype(jnp.float32),
-                                         jnp.asarray(coeffs),
-                                         frame.shape[:2])
-            alpha = warp_perspective(jnp.ones((s, s, 1)), jnp.asarray(coeffs),
-                                     frame.shape[:2])
-            composed = projected * alpha + frame * (1.0 - alpha)
-            outputs.append(np.clip(np.asarray(composed), 0, 255).astype(np.uint8))
+            composed = _paste_back_jit(out255[0], jnp.asarray(frames[i]),
+                                       jnp.asarray(coeffs),
+                                       frames[i].shape[0],
+                                       frames[i].shape[1])
+            outputs.append(np.asarray(composed))
         return outputs

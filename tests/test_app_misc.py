@@ -37,8 +37,8 @@ def test_bg_dilation_variant(rng):
 
 
 def test_pose_drive_registry():
-    with pytest.raises(NotImplementedError, match="TPSMM"):
-        make_pose_driver("TPSMM")
+    with pytest.raises(ValueError, match="TPSMM"):
+        make_pose_driver("TPSMM")  # implemented, but needs converted params
     with pytest.raises(KeyError):
         make_pose_driver("nope")
 
