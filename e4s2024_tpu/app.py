@@ -16,6 +16,55 @@ import os
 
 import numpy as np
 
+# 12-class label names (reference datasets/dataset.py:30)
+SEG12_NAMES = ["background", "lip", "eyebrows", "eyes", "hair", "nose",
+               "skin", "ears", "belowface", "mouth", "eye_glass", "ear_rings"]
+
+
+def editor_parse(swapper, img255: np.ndarray) -> np.ndarray:
+    """Full-image parse -> 12-class label map at the parser's 512^2 grid
+    (the mask the UI edits; reference run_UI.py loads it the same way)."""
+    import jax.numpy as jnp
+
+    lbl = swapper._parse12(jnp.asarray(img255[None], jnp.float32) / 255.0)
+    return np.asarray(lbl[0]).astype(np.int32)
+
+
+def editor_apply_stroke(label_map: np.ndarray, stroke_mask: np.ndarray,
+                        class_idx: int) -> np.ndarray:
+    """Assign every painted pixel to `class_idx` — one brush stroke of the
+    reference's mask-painting UI (reference ui_run/mouse_event.py)."""
+    out = np.asarray(label_map).copy()
+    stroke = np.asarray(stroke_mask)
+    if stroke.shape[:2] != out.shape[:2]:
+        import jax.numpy as jnp
+
+        from e4s2024_tpu.ops.resize import resize_nearest
+        stroke = np.asarray(resize_nearest(
+            jnp.asarray(stroke[None, ..., None], jnp.float32),
+            out.shape[:2])[0, ..., 0])
+    out[stroke > 0.5] = int(class_idx)
+    return out
+
+
+def editor_resynthesize(swapper, img255: np.ndarray,
+                        edited_label: np.ndarray) -> np.ndarray:
+    """Invert the image with its ORIGINAL mask, re-synthesize with the edited
+    mask — the run_UI.py re-render loop (reference run_UI.py:35+,
+    SURVEY.md §3.5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from e4s2024_tpu.pipelines.editor import Editor
+
+    ed = Editor(swapper.rgi_variables, net=swapper.rgi)
+    orig = editor_parse(swapper, img255)
+    img_pm1 = jnp.asarray(img255[None], jnp.float32) / 127.5 - 1.0
+    sv = ed.invert(img_pm1, jnp.asarray(orig[None]))
+    out = ed.generate_from_label(sv, jnp.asarray(edited_label[None]),
+                                 regional_mode=swapper.cfg.regional_mode)
+    return np.asarray(jnp.clip((out[0] + 1.0) * 127.5, 0, 255)).astype(np.uint8)
+
 
 def build_gradio_app(swapper, video_pipeline=None):
     """Gradio Blocks app: image swap + video swap with PTI controls."""
@@ -61,6 +110,44 @@ def build_gradio_app(swapper, video_pipeline=None):
                 vout = gr.Video(label="result")
                 gr.Button("Swap video").click(
                     swap_video, [vsrc, vid, steps, lr, rl], vout)
+        with gr.Tab("Mask editing"):
+            # interactive mask-painting editor (reference run_UI.py / ui_run/):
+            # parse -> paint strokes per class -> re-synthesize
+            from e4s2024_tpu.utils.image import colorize_label_map
+
+            est = gr.State(value=None)   # current label map
+            eimg = gr.State(value=None)  # current image
+            with gr.Row():
+                ein = gr.Image(label="image")
+                emask = gr.Image(label="label map (12-class)")
+            cls = gr.Dropdown(choices=[f"{i}: {n}" for i, n in
+                                       enumerate(SEG12_NAMES)],
+                              value="6: skin", label="brush class")
+            brush = gr.ImageEditor(label="paint the stroke (white = brush)")
+            eout = gr.Image(label="re-synthesized")
+
+            def do_parse(img):
+                lbl = editor_parse(swapper, np.asarray(img, np.float32))
+                return lbl, np.asarray(img), colorize_label_map(lbl, 12)
+
+            def do_stroke(lbl, sketch, cls_choice):
+                if lbl is None or sketch is None:
+                    return lbl, None
+                layer = sketch["layers"][0] if isinstance(sketch, dict) else sketch
+                stroke = np.asarray(layer)[..., :3].mean(-1) > 127
+                lbl = editor_apply_stroke(lbl, stroke,
+                                          int(str(cls_choice).split(":")[0]))
+                return lbl, colorize_label_map(lbl, 12)
+
+            def do_render(img, lbl):
+                if img is None or lbl is None:
+                    return None
+                return editor_resynthesize(swapper, img, lbl)
+
+            gr.Button("Parse").click(do_parse, [ein], [est, eimg, emask])
+            gr.Button("Apply stroke").click(do_stroke, [est, brush, cls],
+                                            [est, emask])
+            gr.Button("Re-synthesize").click(do_render, [eimg, est], eout)
     return app
 
 

@@ -935,3 +935,368 @@ def convert_lia(sd: Mapping[str, np.ndarray], size: int = 256) -> dict:
                 sd[f"dec.to_flows.{j}.bias"].transpose(0, 2, 3, 1)),
         }
     return {"enc": enc, "dec": dec}
+
+
+# --------------------------------------------------------------- faceVid2Vid
+
+
+def _conv3(sd, name):
+    """torch Conv3d (O, I, D, H, W) -> flax kernel (D, H, W, I, O)."""
+    out = {"kernel": np.ascontiguousarray(
+        sd[f"{name}.weight"].transpose(2, 3, 4, 1, 0))}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _fv2v_convnorm(sd, name, conv3d=False):
+    """{Same,Down,Up}Block2d/3d: conv + BatchNorm (reference
+    face_vid2vid/modules/util.py:156-260)."""
+    cv = _conv3(sd, f"{name}.conv") if conv3d else _conv(sd, f"{name}.conv")
+    return {"conv": cv, "norm": _bn(sd, f"{name}.norm")}
+
+
+def _fv2v_bottleneck(sd, name):
+    """ResBottleneck (reference util.py:74-103)."""
+    out = {
+        "conv1": _conv(sd, f"{name}.conv1"),
+        "norm1": _bn(sd, f"{name}.norm1"),
+        "conv2": _conv(sd, f"{name}.conv2"),
+        "norm2": _bn(sd, f"{name}.norm2"),
+        "conv3": _conv(sd, f"{name}.conv3"),
+        "norm3": _bn(sd, f"{name}.norm3"),
+    }
+    if f"{name}.skip.weight" in sd:
+        out["skip"] = _conv(sd, f"{name}.skip")
+        out["norm4"] = _bn(sd, f"{name}.norm4")
+    return out
+
+
+def _fv2v_spade(sd, name):
+    """SPADE norm (reference util.py:421-441): mlp_shared is Sequential(Conv,
+    ReLU) -> index 0."""
+    return {
+        "mlp_shared": _conv(sd, f"{name}.mlp_shared.0"),
+        "mlp_gamma": _conv(sd, f"{name}.mlp_gamma"),
+        "mlp_beta": _conv(sd, f"{name}.mlp_beta"),
+    }
+
+
+def _fv2v_spade_block(sd, name):
+    """SPADEResnetBlock with spectral-normed convs (reference util.py:444-476)."""
+    out = {
+        "norm_0": _fv2v_spade(sd, f"{name}.norm_0"),
+        "norm_1": _fv2v_spade(sd, f"{name}.norm_1"),
+        "conv_0": _spectral_conv(sd, f"{name}.conv_0"),
+        "conv_1": _spectral_conv(sd, f"{name}.conv_1"),
+    }
+    if (f"{name}.conv_s.weight" in sd or f"{name}.conv_s.weight_orig" in sd):
+        out["norm_s"] = _fv2v_spade(sd, f"{name}.norm_s")
+        out["conv_s"] = _spectral_conv(sd, f"{name}.conv_s")
+    return out
+
+
+def convert_facevid2vid_kp(sd: Mapping[str, np.ndarray]) -> dict:
+    """KPDetector (reference face_vid2vid/modules/keypoint_detector.py:9):
+    predictor = KPHourglass (2D downs -> 1x1 conv -> 3D ups), kp = Conv3d.
+    The AntiAliasInterpolation2d 'down' kernel is a fixed buffer (recomputed
+    here), so it is skipped."""
+    sd = strip_module_prefix(sd)
+    pred: dict[str, Any] = {"conv": _conv(sd, "predictor.conv")}
+    i = 0
+    while f"predictor.down_blocks.down{i}.conv.weight" in sd:
+        pred[f"down_{i}"] = _fv2v_convnorm(sd, f"predictor.down_blocks.down{i}")
+        i += 1
+    i = 0
+    while f"predictor.up_blocks.up{i}.conv.weight" in sd:
+        pred[f"up_{i}"] = _fv2v_convnorm(sd, f"predictor.up_blocks.up{i}",
+                                         conv3d=True)
+        i += 1
+    return {"predictor": pred, "kp": _conv3(sd, "kp")}
+
+
+def convert_facevid2vid_he(sd: Mapping[str, np.ndarray]) -> dict:
+    """HEEstimator (reference keypoint_detector.py:85-134)."""
+    sd = strip_module_prefix(sd)
+    out: dict[str, Any] = {}
+    for i in range(1, 6):
+        out[f"conv{i}"] = _conv(sd, f"conv{i}")
+        out[f"norm{i}"] = _bn(sd, f"norm{i}")
+    for blk, n in (("block1", 3), ("block3", 3), ("block5", 5), ("block7", 2)):
+        for i in range(n):
+            out[f"{blk}_{i}"] = _fv2v_bottleneck(
+                sd, f"{blk}.b{blk[-1]}_{i}")
+    for blk in ("block2", "block4", "block6"):
+        out[blk] = _fv2v_bottleneck(sd, blk)
+    for fc in ("fc_roll", "fc_pitch", "fc_yaw", "fc_t", "fc_exp"):
+        out[fc] = _linear(sd, fc)
+    return out
+
+
+def convert_facevid2vid_generator(sd: Mapping[str, np.ndarray]) -> dict:
+    """OcclusionAwareSPADEGenerator (reference generator.py:161-250) incl. its
+    DenseMotionNetwork (dense_motion.py:9) and SPADEDecoder (generator.py:120)."""
+    sd = strip_module_prefix(sd)
+    out: dict[str, Any] = {
+        "first": _fv2v_convnorm(sd, "first"),
+        "second": _conv(sd, "second"),
+        "third": _fv2v_convnorm(sd, "third"),
+        "fourth": _conv(sd, "fourth"),
+    }
+    i = 0
+    while f"down_blocks.{i}.conv.weight" in sd:
+        out[f"down_blocks_{i}"] = _fv2v_convnorm(sd, f"down_blocks.{i}")
+        i += 1
+    i = 0
+    while f"resblocks_3d.3dr{i}.conv1.weight" in sd:
+        r = f"resblocks_3d.3dr{i}"
+        out[f"resblocks_3d_{i}"] = {
+            "conv1": _conv3(sd, f"{r}.conv1"),
+            "conv2": _conv3(sd, f"{r}.conv2"),
+            "norm1": _bn(sd, f"{r}.norm1"),
+            "norm2": _bn(sd, f"{r}.norm2"),
+        }
+        i += 1
+
+    dm: dict[str, Any] = {
+        "compress": _conv3(sd, "dense_motion_network.compress"),
+        "norm": _bn(sd, "dense_motion_network.norm"),
+        "mask": _conv3(sd, "dense_motion_network.mask"),
+    }
+    if "dense_motion_network.occlusion.weight" in sd:
+        dm["occlusion"] = _conv(sd, "dense_motion_network.occlusion")
+    hg: dict[str, Any] = {
+        "conv": _conv3(sd, "dense_motion_network.hourglass.decoder.conv"),
+        "norm": _bn(sd, "dense_motion_network.hourglass.decoder.norm"),
+    }
+    i = 0
+    while (f"dense_motion_network.hourglass.encoder.down_blocks.{i}.conv.weight"
+           in sd):
+        hg[f"down_{i}"] = _fv2v_convnorm(
+            sd, f"dense_motion_network.hourglass.encoder.down_blocks.{i}",
+            conv3d=True)
+        hg[f"up_{i}"] = _fv2v_convnorm(
+            sd, f"dense_motion_network.hourglass.decoder.up_blocks.{i}",
+            conv3d=True)
+        i += 1
+    dm["hourglass"] = hg
+    out["dense_motion_network"] = dm
+
+    dec: dict[str, Any] = {
+        "fc": _conv(sd, "decoder.fc"),
+        "conv_img": _conv(sd, "decoder.conv_img"),
+        "up_0": _fv2v_spade_block(sd, "decoder.up_0"),
+        "up_1": _fv2v_spade_block(sd, "decoder.up_1"),
+    }
+    i = 0
+    while (f"decoder.G_middle_{i}.conv_0.weight" in sd
+           or f"decoder.G_middle_{i}.conv_0.weight_orig" in sd):
+        dec[f"G_middle_{i}"] = _fv2v_spade_block(sd, f"decoder.G_middle_{i}")
+        i += 1
+    out["decoder"] = dec
+    return out
+
+
+def convert_facevid2vid(ckpt: Mapping[str, Mapping[str, np.ndarray]]) -> dict:
+    """Full 00000189-checkpoint.pth.tar (reference drive_demo.py:21-58): keys
+    'generator', 'kp_detector', 'he_estimator' -> FaceVid2VidDriver params."""
+    return {
+        "kp_detector": convert_facevid2vid_kp(dict(ckpt["kp_detector"])),
+        "he_estimator": convert_facevid2vid_he(dict(ckpt["he_estimator"])),
+        "generator": convert_facevid2vid_generator(dict(ckpt["generator"])),
+    }
+
+
+# --------------------------------------------------------------------- GCFSR
+
+
+def _gcfsr_convlayer(sd, name, downsample=False, activate=True):
+    """basicsr-style ConvLayer Sequential (reference gcfsr_arch.py:458-505):
+    [UpFirDnSmooth,] EqualConv2d [, FusedLeakyReLU]."""
+    i = 1 if downsample else 0
+    out = {"conv": _conv(sd, f"{name}.{i}", "weight")}
+    if activate:
+        out["act_bias"] = sd[f"{name}.{i + 1}.bias"]
+    return out
+
+
+def _gcfsr_styled(sd, name):
+    """StyleConv / StyleConv_norm_scale_shift (gcfsr_arch.py:289,708): the
+    Norm2Scale stage is parameter-free, so both share one layout."""
+    return {"conv": _modconv(sd, f"{name}.modulated_conv"),
+            "noise_weight": sd[f"{name}.weight"],
+            "act_bias": sd[f"{name}.activate.bias"]}
+
+
+def _gcfsr_torgb(sd, name):
+    return {"conv": _modconv(sd, f"{name}.modulated_conv"),
+            "bias": np.ascontiguousarray(
+                sd[f"{name}.bias"].transpose(0, 2, 3, 1))}
+
+
+def convert_gcfsr(sd: Mapping[str, np.ndarray]) -> dict:
+    """FaceInpaintingArch / net_g_50000.pth (reference gcfsr_arch.py:1347,
+    face_inpainting.py:13-22) -> models.gcfsr.FaceInpainting params. The
+    `noises.noise*` buffers and UpFirDnSmooth kernels are fixed/recomputed."""
+    sd = strip_module_prefix(sd)
+    if "params_ema" in sd or any(k.startswith("params_ema.") for k in sd):
+        sd = {k[len("params_ema."):]: v for k, v in sd.items()
+              if k.startswith("params_ema.")}
+    out: dict[str, Any] = {
+        "conv_body_first": _gcfsr_convlayer(sd, "conv_body_first"),
+        "final_conv": _gcfsr_convlayer(sd, "final_conv"),
+        "final_down1": _gcfsr_convlayer(sd, "final_down1", downsample=True),
+        "final_down2": _gcfsr_convlayer(sd, "final_down2", downsample=True),
+        "final_linear": _linear(sd, "final_linear"),
+        "style_conv1": _gcfsr_styled(sd, "style_conv1"),
+        "to_rgb1": _gcfsr_torgb(sd, "to_rgb1"),
+    }
+    i = 0
+    while f"conv_body_down.{i}.1.weight" in sd:
+        out[f"conv_body_down_{i}"] = _gcfsr_convlayer(
+            sd, f"conv_body_down.{i}", downsample=True)
+        i += 1
+    j = 0
+    while f"condition_scale1.{j}.weight" in sd:
+        out[f"condition_scale1_{j}"] = _linear(sd, f"condition_scale1.{j}")
+        out[f"condition_scale2_{j}"] = _linear(sd, f"condition_scale2.{j}")
+        out[f"condition_shift_{j}"] = _gcfsr_convlayer(
+            sd, f"condition_shift.{j}", activate=False)
+        j += 1
+    k = 0
+    while f"style_convs.{k}.modulated_conv.weight" in sd:
+        out[f"style_convs_{k}"] = _gcfsr_styled(sd, f"style_convs.{k}")
+        k += 1
+    p = 0
+    while f"to_rgbs.{p}.modulated_conv.weight" in sd:
+        out[f"to_rgbs_{p}"] = _gcfsr_torgb(sd, f"to_rgbs.{p}")
+        p += 1
+    return out
+
+
+# ------------------------------------------------------------------- GFPGAN
+
+
+def _clean_modconv(sd, name):
+    """Clean-arch ModulatedConv2d (reference GFPGAN stylegan2_clean_arch.py:24):
+    5-dim weight + plain nn.Linear modulation."""
+    return {
+        "weight": np.ascontiguousarray(
+            sd[f"{name}.weight"][0].transpose(2, 3, 1, 0)),
+        "modulation": _linear(sd, f"{name}.modulation"),
+    }
+
+
+def _clean_styled(sd, name):
+    return {
+        "conv": _clean_modconv(sd, f"{name}.modulated_conv"),
+        "noise_weight": sd[f"{name}.weight"],
+        "bias": np.ascontiguousarray(sd[f"{name}.bias"].transpose(0, 2, 3, 1)),
+    }
+
+
+def _clean_torgb(sd, name):
+    return {
+        "conv": _clean_modconv(sd, f"{name}.modulated_conv"),
+        "bias": np.ascontiguousarray(sd[f"{name}.bias"].transpose(0, 2, 3, 1)),
+    }
+
+
+def _gfpgan_resblock(sd, name):
+    return {"conv1": _conv(sd, f"{name}.conv1"),
+            "conv2": _conv(sd, f"{name}.conv2"),
+            "skip": _conv(sd, f"{name}.skip")}
+
+
+def convert_gfpgan(sd: Mapping[str, np.ndarray]) -> dict:
+    """GFPGANv1Clean (reference GFPGAN/gfpgan/archs/gfpganv1_clean_arch.py:180)
+    -> models.gfpgan.GFPGANv1Clean params. The decoder's style_mlp (unused:
+    inputs are W latents, input_is_latent=True) and the aux `toRGB` heads
+    (return_rgb only) are dropped; noise buffers are runtime inputs."""
+    sd = strip_module_prefix(sd)
+    if any(k.startswith("params_ema.") for k in sd):
+        sd = {k[len("params_ema."):]: v for k, v in sd.items()
+              if k.startswith("params_ema.")}
+    out: dict[str, Any] = {
+        "conv_body_first": _conv(sd, "conv_body_first"),
+        "final_conv": _conv(sd, "final_conv"),
+        "final_linear": _linear(sd, "final_linear"),
+    }
+    i = 0
+    while f"conv_body_down.{i}.conv1.weight" in sd:
+        out[f"conv_body_down_{i}"] = _gfpgan_resblock(sd, f"conv_body_down.{i}")
+        i += 1
+    i = 0
+    while f"conv_body_up.{i}.conv1.weight" in sd:
+        out[f"conv_body_up_{i}"] = _gfpgan_resblock(sd, f"conv_body_up.{i}")
+        out[f"condition_scale_{i}_0"] = _conv(sd, f"condition_scale.{i}.0")
+        out[f"condition_scale_{i}_2"] = _conv(sd, f"condition_scale.{i}.2")
+        out[f"condition_shift_{i}_0"] = _conv(sd, f"condition_shift.{i}.0")
+        out[f"condition_shift_{i}_2"] = _conv(sd, f"condition_shift.{i}.2")
+        i += 1
+    dec: dict[str, Any] = {
+        "constant_input": np.ascontiguousarray(
+            sd["stylegan_decoder.constant_input.weight"].transpose(0, 2, 3, 1)),
+        "style_conv1": _clean_styled(sd, "stylegan_decoder.style_conv1"),
+        "to_rgb1": _clean_torgb(sd, "stylegan_decoder.to_rgb1"),
+    }
+    k = 0
+    while f"stylegan_decoder.style_convs.{k}.modulated_conv.weight" in sd:
+        dec[f"style_convs_{k}"] = _clean_styled(
+            sd, f"stylegan_decoder.style_convs.{k}")
+        k += 1
+    p = 0
+    while f"stylegan_decoder.to_rgbs.{p}.modulated_conv.weight" in sd:
+        dec[f"to_rgbs_{p}"] = _clean_torgb(sd, f"stylegan_decoder.to_rgbs.{p}")
+        p += 1
+    out["stylegan_decoder"] = dec
+    return out
+
+
+# ------------------------------------------------------------------ Hopenet
+
+
+def convert_hopenet(sd: Mapping[str, np.ndarray],
+                    layers: tuple = (3, 4, 6, 3)) -> dict:
+    """Hopenet ResNet-50 pose net (reference head_pose_esit/hopenet.py:7-26)
+    -> models.hopenet.Hopenet params. fc_finetune is vestigial (never used in
+    the reference forward) and dropped."""
+    sd = strip_module_prefix(sd)
+    out: dict[str, Any] = {
+        "conv1": _conv(sd, "conv1"),
+        "bn1": _bn(sd, "bn1"),
+        "fc_yaw": _linear(sd, "fc_yaw"),
+        "fc_pitch": _linear(sd, "fc_pitch"),
+        "fc_roll": _linear(sd, "fc_roll"),
+    }
+    for li, n in enumerate(layers):
+        for bi in range(n):
+            t = f"layer{li + 1}.{bi}"
+            blk = {
+                "conv1": _conv(sd, f"{t}.conv1"),
+                "bn1": _bn(sd, f"{t}.bn1"),
+                "conv2": _conv(sd, f"{t}.conv2"),
+                "bn2": _bn(sd, f"{t}.bn2"),
+                "conv3": _conv(sd, f"{t}.conv3"),
+                "bn3": _bn(sd, f"{t}.bn3"),
+            }
+            if f"{t}.downsample.0.weight" in sd:
+                blk["down_conv"] = _conv(sd, f"{t}.downsample.0")
+                blk["down_bn"] = _bn(sd, f"{t}.downsample.1")
+            out[f"layer{li + 1}_{bi}"] = blk
+    return out
+
+
+# -------------------------------------------------------------------- VGG16
+
+
+def convert_vgg16(sd: Mapping[str, np.ndarray]) -> dict:
+    """torchvision vgg16 `features` (reference criteria/style_loss.py:83-101)
+    -> models.vgg.VGG16Features params (classifier head dropped)."""
+    sd = strip_module_prefix(sd)
+    out: dict[str, Any] = {}
+    for k in sd:
+        if k.startswith("features.") and k.endswith(".weight"):
+            idx = int(k.split(".")[1])
+            out[f"conv_{idx}"] = _conv(sd, f"features.{idx}")
+    return out

@@ -20,6 +20,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e4s2024_tpu.models.stylegan2 import (
     ConvLayer,
@@ -197,3 +198,61 @@ class GPENEnhancer:
         if h != self.size:
             out = resize_bilinear(out, (h, h))
         return out
+
+
+def landmarks68_to_5(lm68: np.ndarray) -> np.ndarray:
+    """68-pt dlib landmarks -> the 5-pt (eyes, nose, mouth corners) set the
+    ArcFace alignment templates expect."""
+    lm68 = np.asarray(lm68, np.float64)
+    return np.stack([
+        lm68[36:42].mean(0), lm68[42:48].mean(0), lm68[30],
+        lm68[48], lm68[54],
+    ])
+
+
+class GPENFullFrameEnhancer:
+    """Full-frame restoration: detect -> align -> restore -> paste back
+    (reference swap_face_fine/gpen/gpen_demo.py:18-121, where detection is
+    RetinaFace; here the detector is the pipeline's pluggable `landmark_fn`
+    68-pt hook and alignment is the same 5-pt similarity warp).
+
+    The paste-back follows the reference's soft mask: an all-ones crop warped
+    with the inverse affine, scaled down at the border so the restored face
+    blends into the frame.
+    """
+
+    def __init__(self, enhancer: GPENEnhancer, landmark_fn,
+                 border_frac: float = 0.05):
+        self.enhancer = enhancer
+        self.landmark_fn = landmark_fn
+        self.border_frac = border_frac
+
+    def enhance_frame(self, frame255: np.ndarray) -> np.ndarray:
+        """frame255: (H, W, 3) uint8/float full frame. Returns the frame with
+        the (single) detected face restored; unchanged if detection fails."""
+        from e4s2024_tpu.pipelines.arcface_align import (
+            estimate_norm, invert_affine, warp_affine, warp_affine_hw,
+        )
+
+        lm = self.landmark_fn(np.asarray(frame255))
+        if lm is None:
+            return np.asarray(frame255)
+        lm5 = landmarks68_to_5(lm)
+        s = self.enhancer.size
+        m = estimate_norm(lm5, s, mode="set1" if s != 512 else "ffhq")
+        frame = jnp.asarray(frame255, jnp.float32)
+        crop = warp_affine(frame, jnp.asarray(m), s)
+        restored = self.enhancer.enhance_aligned(crop[None])[0]
+
+        # soft paste mask: ones-crop warped back, feathered at the border
+        b = max(1, int(s * self.border_frac))
+        ramp = np.minimum(np.arange(s, dtype=np.float32),
+                          np.arange(s, dtype=np.float32)[::-1])
+        ramp = np.clip(ramp / b, 0.0, 1.0)
+        mask_j = jnp.asarray((ramp[:, None] * ramp[None, :])[..., None])
+        inv_m = jnp.asarray(invert_affine(m))
+        hw = (frame.shape[0], frame.shape[1])
+        pasted = warp_affine_hw(restored, inv_m, hw)
+        alpha = warp_affine_hw(mask_j, inv_m, hw)
+        out = pasted * alpha + frame * (1.0 - alpha)
+        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)

@@ -9,8 +9,10 @@ into the producing matmul/conv automatically, and JAX autodiff is exact at every
 order (the R1 penalty's second-order gradients, which forced the reference's
 custom `FusedLeakyReLUFunctionBackward`, just work).
 
-A Pallas kernel version lives in e4s2024_tpu.ops.pallas.fused_act_tpu for the
-inference hot path; this module is the canonical, fully differentiable form.
+A Pallas kernel version lives in e4s2024_tpu.ops.pallas.kernels
+(`fused_leaky_relu_tpu`); this module is the canonical, fully differentiable
+form (and the faster one in practice: XLA fuses it into the producing conv,
+which a separate Pallas launch cannot — see ops/pallas/kernels.py docstring).
 """
 
 from __future__ import annotations
@@ -20,6 +22,21 @@ import math
 import jax.numpy as jnp
 
 _SQRT2 = math.sqrt(2.0)
+
+# trace-time backend switch: "xla" (default — the op fuses into the producing
+# conv) or "pallas" (e4s2024_tpu.ops.pallas.kernels.fused_leaky_relu_tpu, an
+# explicit VPU kernel). Exists so the two forms can be benchmarked against
+# each other on real hardware with the same model code (SURVEY §2.1 TPU note).
+_BACKEND = "xla"
+
+
+def set_fused_act_backend(name: str) -> None:
+    """Select "xla" | "pallas". Takes effect at the next jit TRACE — call
+    before building/tracing a pipeline, not between calls of a compiled fn."""
+    global _BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown fused-act backend: {name!r}")
+    _BACKEND = name
 
 
 def fused_leaky_relu(
@@ -32,6 +49,11 @@ def fused_leaky_relu(
 
     Layout: channels-last (NHWC / N...C). `bias` has shape (C,).
     """
+    if (_BACKEND == "pallas" and bias is not None and x.ndim >= 2
+            and negative_slope == 0.2 and scale == _SQRT2):
+        from e4s2024_tpu.ops.pallas.kernels import fused_leaky_relu_tpu
+
+        return fused_leaky_relu_tpu(x, bias.astype(x.dtype))
     if bias is not None:
         x = x + bias
     return jnp.where(x >= 0, x, x * negative_slope) * scale

@@ -96,3 +96,39 @@ def norm_crop(img: np.ndarray, landmark5: np.ndarray, image_size: int = 112,
     warped = warp_affine(jnp.asarray(img, jnp.float32), jnp.asarray(m),
                          image_size)
     return np.asarray(warped), m
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_affine_hw(img: jnp.ndarray, m: jnp.ndarray,
+                   out_hw: tuple[int, int]) -> jnp.ndarray:
+    """warp_affine with a rectangular output (for pasting aligned crops back
+    onto full frames). img: (H, W, C); m: (2, 3) mapping OUTPUT -> img coords
+    is m^{-1}, cv2 semantics like `warp_affine`."""
+    oh, ow = out_hw
+    a = jnp.concatenate([m, jnp.asarray([[0.0, 0.0, 1.0]])], axis=0)
+    inv = jnp.linalg.inv(a)
+    xx = jnp.arange(ow, dtype=jnp.float32)[None, :].repeat(oh, 0)
+    yy = jnp.arange(oh, dtype=jnp.float32)[:, None].repeat(ow, 1)
+    xs = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
+    ys = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+
+    h, w, _ = img.shape
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    tx = (xs - x0)[..., None]
+    ty = (ys - y0)[..., None]
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(valid[..., None], v, 0.0)
+
+    top = tap(y0, x0) * (1 - tx) + tap(y0, x0 + 1) * tx
+    bot = tap(y0 + 1, x0) * (1 - tx) + tap(y0 + 1, x0 + 1) * tx
+    return top * (1 - ty) + bot * ty
+
+
+def invert_affine(m: np.ndarray) -> np.ndarray:
+    """Invert a 2x3 affine (for crop -> frame paste-back)."""
+    a = np.vstack([np.asarray(m, np.float64), [0.0, 0.0, 1.0]])
+    return np.linalg.inv(a)[:2]

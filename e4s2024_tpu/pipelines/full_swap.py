@@ -40,6 +40,11 @@ class SwapComponents:
     recolorer: Any = None          # BlenderRecolorer-like .recolor(...)
     upscaler: Any = None           # RealESRGANUpscaler-like .upscale(img255)
     inpainter: Any = None          # FaceInpainter-like .inpaint(img255, hole)
+    # params for the W-refinement criterion: "lpips" / "arcface" / "parser".
+    # With these present, optimize_W runs the reference's full perceptual
+    # objective (reference optimization.py:196-351, optim_options.py:37-39);
+    # missing entries disable their term (L2 always on).
+    loss_params: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -172,8 +177,9 @@ class FullFaceSwapPipeline:
         from e4s2024_tpu.training.optim import optimize_style_vectors
 
         sw = self.swapper
-        crit = ReconCriterion({}, lpips_lambda=0.0, id_lambda=0.0,
-                              face_parsing_lambda=0.0)
+        # reference weights: LPIPS 0.8 + ID 0.1 + face-parsing 0.1 + L2 1.0
+        # (ReconCriterion defaults); terms without params fall back to L2-only
+        crit = ReconCriterion(self.comp.loss_params)
         pair = jnp.concatenate([
             jnp.asarray(driven255[None], jnp.float32),
             jnp.asarray(target255[None], jnp.float32)], axis=0)

@@ -116,6 +116,23 @@ class FaceSwapper:
         # embed the weights as constants in the XLA program, which blows up
         # compile payloads (HTTP 413 on remote-compile backends) and forbids
         # weight updates without retracing.
+        # the staged sub-programs exist in BOTH modes (jit compiles lazily, so
+        # unused ones cost nothing): optimize_W, the video pipeline and the
+        # profiler all drive individual stages even when swaps run fused.
+        self._parse_p_jit = jax.jit(self._parse12_p)
+        self._invert_p_jit = jax.jit(self._style_vectors_p)
+        self._synth_p_jit = jax.jit(self._synth_and_composite_p)
+        self._pair_p_jit = jax.jit(self._parse_invert_p)
+        self._merge_p_jit = jax.jit(self._merge_synth_composite_p)
+        self._parse_jit = lambda x: self._parse_p_jit(self.bisenet_params, x)
+        self._invert_jit = (lambda img, oh: self._invert_p_jit(
+            self.rgi_variables, img, oh))
+        self._synth_jit = (lambda sv, m, hm, t: self._synth_p_jit(
+            self.rgi_variables, sv, m, hm, t))
+        self._pair_jit = (lambda pair: self._pair_p_jit(
+            self.rgi_variables, self.bisenet_params, pair))
+        self._merge_jit = (lambda dm, tm, dsv, tsv, t: self._merge_p_jit(
+            self.rgi_variables, dm, tm, dsv, tsv, t))
         if config.jit_mode == "fused":
             self._swap_fused_jit = jax.jit(self._swap_aligned_p)
             self._swap_jit = (lambda d, t: self._swap_fused_jit(
@@ -123,20 +140,6 @@ class FaceSwapper:
                 _as_u8(t)))
         else:
             self._swap_jit = self._swap_staged
-            self._parse_p_jit = jax.jit(self._parse12_p)
-            self._invert_p_jit = jax.jit(self._style_vectors_p)
-            self._synth_p_jit = jax.jit(self._synth_and_composite_p)
-            self._pair_p_jit = jax.jit(self._parse_invert_p)
-            self._merge_p_jit = jax.jit(self._merge_synth_composite_p)
-            self._parse_jit = lambda x: self._parse_p_jit(self.bisenet_params, x)
-            self._invert_jit = (lambda img, oh: self._invert_p_jit(
-                self.rgi_variables, img, oh))
-            self._synth_jit = (lambda sv, m, hm, t: self._synth_p_jit(
-                self.rgi_variables, sv, m, hm, t))
-            self._pair_jit = (lambda pair: self._pair_p_jit(
-                self.rgi_variables, self.bisenet_params, pair))
-            self._merge_jit = (lambda dm, tm, dsv, tsv, t: self._merge_p_jit(
-                self.rgi_variables, dm, tm, dsv, tsv, t))
 
     # ---------------- jitted core ----------------
 
@@ -287,26 +290,17 @@ class FaceSwapper:
 
     def _swap_aligned_p(self, rgi_variables, bisenet_params, driven255,
                         target255):
-        """Fused one-program variant (params as args)."""
-        saved = (self.rgi_variables, self.bisenet_params)
-        self.rgi_variables, self.bisenet_params = rgi_variables, bisenet_params
-        try:
-            return self._swap_aligned(driven255, target255)
-        finally:
-            self.rgi_variables, self.bisenet_params = saved
+        """Fused one-program swap (params as explicit args — pure function,
+        safe to retrace/jit concurrently).
 
-    def _swap_aligned(self, driven255, target255):
-        """driven/target: (B, S, S, 3) float32 aligned crops in [0, 255].
-
+        driven/target: (B, S, S, 3) uint8/float aligned crops in [0, 255].
         Returns dict with swapped uint8 image, swapped mask, hole mask —
         same math as the staged path, expressed as one traceable function."""
         b = driven255.shape[0]
         pair = jnp.concatenate([driven255, target255], axis=0)
-        masks, sv = self._parse_invert_p(
-            self.rgi_variables, self.bisenet_params, pair)
+        masks, sv = self._parse_invert_p(rgi_variables, bisenet_params, pair)
         return self._merge_synth_composite_p(
-            self.rgi_variables, masks[:b], masks[b:], sv[:b], sv[b:],
-            target255)
+            rgi_variables, masks[:b], masks[b:], sv[:b], sv[b:], target255)
 
     # ---------------- host-side orchestration ----------------
 

@@ -10,11 +10,14 @@ axis can shard across the device mesh.
 Stages:
   1. crop+align all frames with temporally smoothed quads    (:181-210)
   2. (hook) pose-drive source toward each frame + enhance    (:239-314)
+  2b. per-frame Blender recolor targets for PTI guidance      (:287-300)
   3. parse all frames                                         (:212-237)
   4. per-frame style vectors                                  (:331-354)
   5. PTI generator tuning on the clip (PTICoach)              (:356-390)
   6. per-frame mask merge + style mixing + synthesis          (:392-491)
-  7. compositing + perspective paste-back per frame
+  6b. boundary-stitching generator tune (StitchingCoach;
+      reference :356-390 -> video_swap_stich_coach.py:153-208)
+  7. compositing + perspective paste-back, batched over frames
 Video IO (frame extraction / H.264 mux with source audio, reference
 gradio_utils/face_swapping.py:53-119) is in e4s2024_tpu.video_io.
 """
@@ -38,16 +41,15 @@ from e4s2024_tpu.pipelines.alignment import (
 from e4s2024_tpu.pipelines.mask_merge import swap_comp_style_vector, swap_head_mask
 from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
 from e4s2024_tpu.models.rgi import RGINet
-from e4s2024_tpu.training.pti import PTICoach, PTIConfig
+from e4s2024_tpu.training.pti import (
+    PTICoach, PTIConfig, StitchingCoach, StitchingConfig,
+)
 from e4s2024_tpu.utils.image import from_pm1, to_pm1
 
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("fh", "fw"))
-def _paste_back_jit(crop_u8, frame_u8, coeffs, fh, fw):
-    """Warp the swapped crop onto the full frame and alpha-compose (one XLA
-    program: 2 perspective warps + blend + uint8 quantize)."""
+def _paste_back_one(crop_u8, frame_u8, coeffs, fh, fw):
     s = crop_u8.shape[0]
     crop = crop_u8.astype(jnp.float32)
     frame = frame_u8.astype(jnp.float32)
@@ -57,13 +59,29 @@ def _paste_back_jit(crop_u8, frame_u8, coeffs, fh, fw):
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("fh", "fw"))
+def _paste_back_jit(crop_u8, frame_u8, coeffs, fh, fw):
+    """Warp swapped crops onto full frames and alpha-compose, BATCHED over the
+    frame axis (one XLA program for the whole chunk: 2 perspective warps +
+    blend + uint8 quantize per frame)."""
+    if crop_u8.ndim == 3:  # single frame
+        return _paste_back_one(crop_u8, frame_u8, coeffs, fh, fw)
+    return jax.vmap(lambda c, f, m: _paste_back_one(c, f, m, fh, fw))(
+        crop_u8, frame_u8, coeffs)
+
+
 @dataclass
 class VideoSwapConfig:
     swap: SwapConfig = field(default_factory=SwapConfig)
     pti: PTIConfig = field(default_factory=PTIConfig)
+    stitching: StitchingConfig = field(default_factory=StitchingConfig)
     center_sigma: float = 1.0
     xy_sigma: float = 3.0
     run_pti: bool = True
+    # boundary-stitching tune after the swap synthesis (reference
+    # face_swap_video_pipeline.py:356-390); set max_steps=0 or this False to
+    # skip (the reference's resume path)
+    run_stitching: bool = True
     frames_per_batch: int = 4
 
 
@@ -79,12 +97,17 @@ class FaceSwapVideoPipeline:
 
     def __init__(self, swapper: FaceSwapper, cfg: VideoSwapConfig = VideoSwapConfig(),
                  loss_params: dict | None = None, mesh=None,
-                 driven_hook: Callable | None = None):
+                 driven_hook: Callable | None = None,
+                 recolorer=None):
         self.swapper = swapper
         self.cfg = cfg
         self.loss_params = loss_params or {}
         self.mesh = mesh
         self.driven_hook = driven_hook
+        # BlenderRecolorer-like: .recolor(imgA255, imgT255, a19, t19) -> 256^2
+        # recolor of A toward T's colors; used to build the per-frame PTI
+        # recolor targets (reference face_swap_video_pipeline.py:287-300)
+        self.recolorer = recolorer
 
     # ------------- stage 1: alignment -------------
 
@@ -127,6 +150,56 @@ class FaceSwapVideoPipeline:
             out.append(np.asarray(self.swapper._invert_jit(img, onehot)))
         return np.concatenate(out)
 
+    # ------------- stage 2b: recolor targets -------------
+
+    def recolor_targets(self, driven255: np.ndarray,
+                        t_crops255: np.ndarray) -> np.ndarray:
+        """Per-frame Blender recolor of each driven frame toward its target
+        frame's colors — the PTI guidance images (reference
+        face_swap_video_pipeline.py:287-300). Identity when no recolorer."""
+        if self.recolorer is None:
+            return driven255
+        from e4s2024_tpu.ops.resize import resize_bilinear
+
+        b = self.cfg.frames_per_batch
+        s = driven255.shape[1]
+        outs = []
+        for i in range(0, len(driven255), b):
+            d = jnp.asarray(driven255[i:i + b], jnp.float32)
+            t = jnp.asarray(t_crops255[i:i + b], jnp.float32)
+            d19 = self.swapper._parse19(d / 255.0)
+            t19 = self.swapper._parse19(t / 255.0)
+            rec = self.recolorer.recolor(d, t, d19, t19)
+            if rec.shape[1] != s:
+                rec = resize_bilinear(rec, (s, s))
+            outs.append(np.asarray(rec))
+        return np.concatenate(outs)
+
+    # ------------- stage 6b: raw swapped synthesis (for stitching) -------------
+
+    def _gen_raw(self, svs: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        """Generate the swapped faces WITHOUT compositing, batched.
+        Returns (F, S, S, 3) in [-1, 1] — the stitching content targets."""
+        sw = self.swapper
+        if not hasattr(self, "_gen_raw_jit"):
+            def f(variables, sv, mask):
+                codes = sw.rgi.apply(variables, sv.astype(sw._dtype),
+                                     method=RGINet.cal_style_codes)
+                onehot = jax.nn.one_hot(mask, sw.cfg.num_seg_cls,
+                                        dtype=sw._dtype)
+                img, _, _ = sw.rgi.apply(variables, None, codes, onehot,
+                                         method=RGINet.gen_img,
+                                         regional_mode=sw.cfg.regional_mode)
+                return img.astype(jnp.float32)
+            self._gen_raw_jit = jax.jit(f)
+        b = self.cfg.frames_per_batch
+        outs = []
+        for i in range(0, len(svs), b):
+            outs.append(np.asarray(self._gen_raw_jit(
+                sw.rgi_variables, jnp.asarray(svs[i:i + b]),
+                jnp.asarray(masks[i:i + b]))))
+        return np.concatenate(outs)
+
     # ------------- full pipeline -------------
 
     def __call__(self, source_img: np.ndarray, frames: list[np.ndarray],
@@ -148,6 +221,10 @@ class FaceSwapVideoPipeline:
             driven = self.driven_hook(s_crop, t_crops)
         else:
             driven = np.repeat(s_crop[None], len(t_crops), axis=0)
+
+        # 2b. per-frame Blender recolor targets for PTI guidance (reference
+        # face_swap_video_pipeline.py:287-300; falls back to the driven frame)
+        recolor_frames = self.recolor_targets(driven, t_crops)
 
         # 3. parse
         d_labels = self.parse_frames(driven)
@@ -179,28 +256,45 @@ class FaceSwapVideoPipeline:
                 frames=to_pm1(driven),
                 labels=d_labels,
                 style_vectors=d_sv,
-                recolor=to_pm1(driven),  # recolor target = driven unless a
-                                         # Blender recolor hook supplied them
+                recolor=to_pm1(recolor_frames),
             )
             # params are jit arguments, so the tuned weights take effect
             # without retracing
             self.swapper.rgi_variables = variables
 
-        # 6-7. synthesize + composite + paste back; the paste-back (two
-        # perspective warps + alpha compose + quantize) is ONE jitted program
-        # per frame shape instead of several eager dispatches per frame
-        outputs = []
-        for i in range(len(t_crops)):
-            out255 = self.swapper._synth_jit(
-                jnp.asarray(swapped_svs[i:i + 1]),
-                jnp.asarray(merged_masks[i:i + 1]),
-                jnp.asarray(holes[i:i + 1]),
-                jnp.asarray(to_pm1(t_crops[i:i + 1])),
+        # 6b. boundary-stitching tune: content region must match the swapped
+        # synthesis, border ring must match the target frame (reference
+        # face_swap_video_pipeline.py:356-390 -> video_swap_stich_coach.py:153-208)
+        if self.cfg.run_stitching and self.cfg.stitching.max_steps > 0:
+            content = self._gen_raw(swapped_svs, merged_masks)
+            stitcher = StitchingCoach(self.swapper.rgi, self.loss_params,
+                                      self.cfg.stitching, mesh=self.mesh)
+            variables, _ = stitcher.tune(
+                self.swapper.rgi_variables,
+                content_imgs=content,
+                border_imgs=to_pm1(t_crops),
+                labels=merged_masks,
+                style_vectors=swapped_svs,
             )
-            coeffs = paste_back_coefficients(t_quads[i], s)
-            composed = _paste_back_jit(out255[0], jnp.asarray(frames[i]),
-                                       jnp.asarray(coeffs),
-                                       frames[i].shape[0],
-                                       frames[i].shape[1])
-            outputs.append(np.asarray(composed))
+            self.swapper.rgi_variables = variables
+
+        # 6-7. synthesize + composite + paste back, BATCHED over frames:
+        # one synth+composite program and one paste-back program per chunk
+        # instead of several eager dispatches per frame
+        fh, fw = frames[0].shape[0], frames[0].shape[1]
+        coeffs = np.stack([np.asarray(paste_back_coefficients(q, s),
+                                      np.float32) for q in t_quads])
+        frames_arr = np.stack(frames)
+        outputs = []
+        b = self.cfg.frames_per_batch
+        for i in range(0, len(t_crops), b):
+            out255 = self.swapper._synth_jit(
+                jnp.asarray(swapped_svs[i:i + b]),
+                jnp.asarray(merged_masks[i:i + b]),
+                jnp.asarray(holes[i:i + b]),
+                jnp.asarray(to_pm1(t_crops[i:i + b])),
+            )
+            composed = _paste_back_jit(out255, jnp.asarray(frames_arr[i:i + b]),
+                                       jnp.asarray(coeffs[i:i + b]), fh, fw)
+            outputs.extend(np.asarray(composed))
         return outputs

@@ -147,10 +147,10 @@ class Coach:
         if cfg.optim_name == "ranger":
             from e4s2024_tpu.training.optim import ranger
 
-            # flat-params variant of ranger (no lookahead wrapper state
-            # incompatibility with multi_transform): RAdam core
-            self._g_tx_inner = optax.radam(sched)
-            self._d_tx = optax.radam(sched)
+            # real Ranger (RAdam + LookAhead with slow weights in optimizer
+            # state — multi_transform compatible, see optim.lookahead)
+            self._g_tx_inner = ranger(sched)
+            self._d_tx = ranger(sched)
         else:
             self._g_tx_inner = optax.adam(sched)
             self._d_tx = optax.adam(sched)

@@ -16,7 +16,7 @@ offers (reference training/ranger.py), composed from optax primitives.
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +25,61 @@ import optax
 from e4s2024_tpu.models.rgi import RGINet
 
 
-def ranger(learning_rate: float, sync_period: int = 6,
+class LookaheadState(NamedTuple):
+    inner: Any
+    slow: Any          # slow weights, same pytree as params
+    gstep: jnp.ndarray
+
+
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
+              slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """LookAhead wrapper that keeps the slow weights in OPTIMIZER STATE.
+
+    Unlike `optax.lookahead` (which requires params to be an
+    `optax.LookaheadParams` fast/slow pair and therefore cannot sit inside
+    `optax.multi_transform`), this variant leaves the param pytree unchanged:
+    every `sync_period` steps the emitted update moves the fast weights to
+    slow + slow_step_size * (fast - slow) and refreshes the slow copy —
+    exactly the reference Ranger's integrated LookAhead step
+    (reference training/ranger.py:140-160).
+    """
+
+    def init_fn(params):
+        return LookaheadState(
+            inner=inner.init(params),
+            # jnp.copy, NOT asarray: the slow weights must be distinct buffers
+            # from the live params, or jit donation of a state carrying both
+            # fails with "donate the same buffer twice"
+            slow=jax.tree_util.tree_map(jnp.copy, params),
+            gstep=jnp.zeros((), jnp.int32),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("lookahead requires params")
+        updates, inner_state = inner.update(updates, state.inner, params)
+        gstep = state.gstep + 1
+        do_sync = (gstep % sync_period == 0)
+        tm = jax.tree_util.tree_map
+        fast = tm(lambda p, u: p + u, params, updates)
+        new_slow = tm(lambda s, f: s + slow_step_size * (f - s),
+                      state.slow, fast)
+        updates = tm(lambda ns, p, u: jnp.where(do_sync, ns - p, u),
+                     new_slow, params, updates)
+        slow = tm(lambda ns, s: jnp.where(do_sync, ns, s),
+                  new_slow, state.slow)
+        return updates, LookaheadState(inner_state, slow, gstep)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ranger(learning_rate, sync_period: int = 6,
            slow_step_size: float = 0.5) -> optax.GradientTransformation:
-    """RAdam + LookAhead (reference training/ranger.py:163)."""
-    return optax.lookahead(
-        optax.radam(learning_rate),
-        sync_period=sync_period,
-        slow_step_size=slow_step_size,
-    )
+    """RAdam + LookAhead (reference training/ranger.py:163); multi_transform
+    compatible (slow weights live in the optimizer state)."""
+    return lookahead(optax.radam(learning_rate),
+                     sync_period=sync_period,
+                     slow_step_size=slow_step_size)
 
 
 def optimize_style_vectors(

@@ -26,6 +26,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import numpy as np
 import pytest
 
+# Modules whose non-slow tests are cheap (no big-model compiles): the `quick`
+# tier. `pytest -m quick` is the fast signal loop; the full suite stays the
+# merge gate.
+_QUICK_MODULES = {
+    "test_app_misc",
+    "test_checkpoint",
+    "test_color",
+    "test_datasets",
+    "test_deform_conv",
+    "test_editor",
+    "test_mask_merge",
+    "test_metrics",
+    "test_misc_components",
+    "test_modconv",
+    "test_native",
+    "test_resize",
+    "test_upfirdn",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _QUICK_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():

@@ -49,3 +49,49 @@ def test_inpaint_registry():
         make_inpainter("misf")  # implemented, but needs converted params
     with pytest.raises(KeyError):
         make_inpainter("nah")
+
+
+def test_editor_apply_stroke():
+    from e4s2024_tpu.app import editor_apply_stroke
+
+    lbl = np.zeros((16, 16), np.int32)
+    stroke = np.zeros((16, 16), np.float32)
+    stroke[4:8, 4:8] = 1.0
+    out = editor_apply_stroke(lbl, stroke, 6)
+    assert (out[4:8, 4:8] == 6).all()
+    assert (out[0] == 0).all()
+    # stroke at a different resolution is resampled onto the label grid
+    big = np.zeros((32, 32), np.float32)
+    big[8:16, 8:16] = 1.0
+    out2 = editor_apply_stroke(lbl, big, 4)
+    assert (out2[4:8, 4:8] == 4).all()
+
+
+@pytest.mark.slow
+def test_editor_parse_and_resynthesize(rng):
+    """The run_UI loop: parse -> edit label -> re-synthesize (tiny nets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from e4s2024_tpu.app import editor_parse, editor_resynthesize
+    from e4s2024_tpu.models.bisenet import BiSeNet
+    from e4s2024_tpu.models.rgi import RGINet
+    from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
+
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    net = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    sw = FaceSwapper(v, bise, cfg)
+    sw.rgi = net
+
+    img = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    lbl = editor_parse(sw, img)
+    assert lbl.shape == (512, 512)
+    lbl[100:200, 100:200] = 4
+    out = editor_resynthesize(sw, img, lbl)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8

@@ -88,3 +88,31 @@ def test_pipeline_optimize_w(rng):
     tgt = (rng.random((64, 64, 3)) * 255).astype(np.float32)
     out = pipe(src, tgt)
     assert out["image"].shape == (64, 64, 3)
+
+
+@pytest.mark.slow
+def test_pipeline_optimize_w_perceptual(rng):
+    """optimize_W with the reference's LPIPS-enabled criterion (VERDICT r1 #7):
+    loss_params present -> the refinement optimizes LPIPS*0.8 + L2, not L2-only."""
+    from e4s2024_tpu.models.lpips import LPIPS
+
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg)
+    swapper.rgi = rgi
+    lpips_params = LPIPS().init(jax.random.PRNGKey(2),
+                                jnp.zeros((1, 64, 64, 3)),
+                                jnp.zeros((1, 64, 64, 3)))["params"]
+    pipe = FullFaceSwapPipeline(
+        swapper, SwapComponents(loss_params={"lpips": lpips_params}),
+        FullSwapConfig(ct_mode="none", optimize_w_steps=2))
+    src = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    tgt = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    out = pipe(src, tgt)
+    assert out["image"].shape == (64, 64, 3)

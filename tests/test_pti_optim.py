@@ -83,12 +83,47 @@ def test_optimize_style_vectors_reduces_loss(tiny, rng):
     assert float(losses[-1]) < float(losses[0])
 
 
-def test_ranger_constructs():
-    tx = ranger(1e-3)
+def test_ranger_lookahead_syncs():
+    """Slow weights live in state; every sync_period-th step pulls the fast
+    weights halfway back to the slow copy (reference training/ranger.py:140-160)."""
+    import optax
+
+    tx = ranger(0.1, sync_period=3, slow_step_size=0.5)
     params = {"w": jnp.ones((4,))}
     state = tx.init(params)
-    import optax
-    # lookahead wraps params in (fast, slow); just verify an update applies
-    grads = {"w": jnp.ones((4,))}
-    updates, _ = tx.update(grads, state, optax.LookaheadParams(params, params))
-    assert updates is not None
+    np.testing.assert_allclose(np.asarray(state.slow["w"]), 1.0)
+
+    radam = optax.radam(0.1)
+    rstate = radam.init(params)
+    rparams = params
+    for step in range(1, 4):
+        grads = {"w": jnp.full((4,), 2.0)}
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        rupd, rstate = radam.update(grads, rstate, rparams)
+        rparams = optax.apply_updates(rparams, rupd)
+        if step < 3:   # pre-sync: identical to plain RAdam
+            np.testing.assert_allclose(np.asarray(params["w"]),
+                                       np.asarray(rparams["w"]), rtol=1e-6)
+    # step 3 = sync: params == slow0 + 0.5*(fast - slow0), slow updated to it
+    expect = 1.0 + 0.5 * (np.asarray(rparams["w"]) - 1.0)
+    np.testing.assert_allclose(np.asarray(params["w"]), expect, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.slow["w"]), expect, rtol=1e-6)
+
+
+def test_coach_ranger_has_lookahead_state():
+    """optim_name='ranger' must actually train with LookAhead (VERDICT r1 #10)."""
+    from e4s2024_tpu.training.coach import Coach, TrainConfig
+    from e4s2024_tpu.training.optim import LookaheadState
+
+    cfg = TrainConfig(out_size=32, remaining_layer_idx=5, channel_multiplier=1,
+                      encoder_input_size=32, batch_size=1, optim_name="ranger",
+                      lpips_lambda=0.0, id_lambda=0.0, face_parsing_lambda=0.0,
+                      adv_lambda=0.0, train_D=False,
+                      encoder_num_units=(1, 1, 1, 1))
+    coach = Coach(cfg)
+    state = coach.init_state(jax.random.PRNGKey(0))
+    leaves = [s for s in jax.tree_util.tree_leaves(
+        state.g_opt, is_leaf=lambda x: isinstance(x, LookaheadState))
+        if isinstance(x := s, LookaheadState)]
+    assert leaves, "ranger coach must carry LookaheadState (slow weights)"

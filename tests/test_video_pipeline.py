@@ -10,7 +10,7 @@ from e4s2024_tpu.models.bisenet import BiSeNet
 from e4s2024_tpu.models.rgi import RGINet
 from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
 from e4s2024_tpu.pipelines.video import FaceSwapVideoPipeline, VideoSwapConfig
-from e4s2024_tpu.training.pti import PTIConfig
+from e4s2024_tpu.training.pti import PTIConfig, StitchingConfig
 from e4s2024_tpu.config import E4SConfig
 
 
@@ -39,13 +39,25 @@ def test_video_pipeline_end_to_end(rng):
     vcfg = VideoSwapConfig(
         swap=cfg, pti=PTIConfig(max_pti_steps=2, lpips_lambda=0.0,
                                 id_lambda=0.0, face_parsing_lambda=0.0),
+        stitching=StitchingConfig(max_steps=1, lpips_lambda=0.0),
         frames_per_batch=2)
-    pipe = FaceSwapVideoPipeline(swapper, vcfg)
+
+    class FakeRecolorer:
+        """Stands in for BlenderRecolorer: must be called per batch and its
+        output must become the PTI recolor target."""
+        calls = 0
+
+        def recolor(self, a255, t255, a19, t19):
+            FakeRecolorer.calls += 1
+            return jnp.clip(0.5 * (a255 + t255), 0, 255)
+
+    pipe = FaceSwapVideoPipeline(swapper, vcfg, recolorer=FakeRecolorer())
 
     frames = [(rng.random((96, 96, 3)) * 255).astype(np.uint8) for _ in range(3)]
     source = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
     outs = pipe(source, frames)
     assert len(outs) == 3
+    assert FakeRecolorer.calls >= 1
     for o in outs:
         assert o.shape == (96, 96, 3) and o.dtype == np.uint8
 
