@@ -126,7 +126,11 @@ class BiSeNet(nn.Module):
     aux_heads: bool = True
 
     @nn.compact
-    def __call__(self, x, aux: bool | None = None):
+    def __call__(self, x, aux: bool | None = None, upsample: bool = True):
+        """upsample=False returns the main logits at 1/8 resolution (NHWC):
+        callers that argmax can then do the bilinear upsample in PLANAR
+        layout — 19 channels in NHWC pad to the TPU's 128 lanes, so the
+        full-res NHWC logits tensor streams ~6.7x its logical bytes."""
         aux = self.aux_heads if aux is None else aux
         h, w = x.shape[1], x.shape[2]
         f8, f16, f32 = Resnet18(name="resnet")(x)
@@ -148,7 +152,7 @@ class BiSeNet(nn.Module):
 
         up = lambda o: resize_bilinear_align_corners(o, (h, w))
         if not aux and not self.is_initializing():
-            return up(out), None, None
+            return (up(out) if upsample else out), None, None
         out16 = BiSeNetOutput(64, self.n_classes, name="conv_out16")(f16_up)
         out32 = BiSeNetOutput(64, self.n_classes, name="conv_out32")(f32_up)
         return up(out), up(out16), up(out32)

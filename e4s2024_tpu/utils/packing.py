@@ -1,0 +1,51 @@
+"""Pytree packing: flatten a params tree into ONE buffer per dtype.
+
+On tunneled/remote device transports every jit argument handle costs ~10 us
+per call (measured: a 512-leaf tree adds ~6 ms to a trivial program's call
+overhead, independent of byte size). Model pytrees have hundreds of leaves,
+so inference hot paths pass a PACKED form — one 1-D buffer per dtype — and
+slice the leaves back out INSIDE the program (static offsets; XLA fuses the
+slices into their consumers).
+
+pack_pytree runs once per weight update; unpack_pytree is traced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_pytree(tree):
+    """tree -> ({dtype_name: 1-D buffer}, meta). Leaves keep dtype/shape."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    groups: dict[str, list[int]] = {}
+    for i, leaf in enumerate(leaves):
+        groups.setdefault(str(jnp.asarray(leaf).dtype), []).append(i)
+    buffers = {}
+    meta_groups = {}
+    for dt, idxs in groups.items():
+        parts, metas, offset = [], [], 0
+        for i in idxs:
+            leaf = jnp.asarray(leaves[i])
+            n = int(leaf.size)
+            metas.append((i, offset, tuple(leaf.shape)))
+            parts.append(leaf.reshape(-1))
+            offset += n
+        buffers[dt] = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        meta_groups[dt] = metas
+    return buffers, (treedef, meta_groups, len(leaves))
+
+
+def unpack_pytree(buffers, meta):
+    """Inverse of pack_pytree; traceable (static offsets/shapes)."""
+    treedef, meta_groups, n = meta
+    leaves = [None] * n
+    for dt, metas in meta_groups.items():
+        buf = buffers[dt]
+        for i, off, shape in metas:
+            size = int(np.prod(shape)) if shape else 1
+            leaves[i] = jax.lax.slice(buf, (off,), (off + size,)).reshape(shape)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -11,15 +11,20 @@ import time
 import numpy as np
 
 
+def sync(out):
+    # slice ON DEVICE and fetch 1 element: fetching whole outputs would time
+    # the ~40 MB/s tunnel, not the chip
+    return np.asarray(out.ravel()[0])
+
+
 def bench(label, fn, iters=30):
-    out = fn()
-    np.asarray(out).reshape(-1)[0]
+    sync(fn())
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        np.asarray(out).reshape(-1)[0]
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"{label:44s} {best * 1e3:8.3f} ms")
     return best

@@ -81,9 +81,11 @@ def main():
     b = jnp.asarray((rng.random((nb, size, size, 3)) * 255).astype(np.uint8))
     pair = jnp.concatenate([a, b], axis=0)
 
-    sync_img = lambda o: np.asarray(o["image"])[0, 0, 0, 0]
-    sync_arr = lambda o: np.asarray(o).reshape(-1)[0]
-    sync_tup = lambda o: np.asarray(o[0]).reshape(-1)[0]
+    # slice ON DEVICE, fetch 1 element (whole-output fetches would time the
+    # ~40 MB/s tunnel, not the chip)
+    sync_img = lambda o: np.asarray(o["image"].ravel()[0])
+    sync_arr = lambda o: np.asarray(o.ravel()[0])
+    sync_tup = lambda o: np.asarray(o[0].ravel()[0])
 
     it = args.iters
     print(f"profile @ {size}px dtype={args.dtype} iters={it} "

@@ -95,3 +95,11 @@ def test_editor_parse_and_resynthesize(rng):
     lbl[100:200, 100:200] = 4
     out = editor_resynthesize(sw, img, lbl)
     assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
+
+def test_parity_recon_cli_surface():
+    """The parity harness parses args and fails cleanly on a missing ckpt."""
+    import subprocess, sys
+    r = subprocess.run([sys.executable, "scripts/parity_recon.py", "--help"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0 and "--ref_recons" in r.stdout
