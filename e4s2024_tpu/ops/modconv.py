@@ -128,14 +128,12 @@ def modulated_conv2d(
 
 def _nearest_resize_mask(segmap: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbor resize of a (B, H, W, K) one-hot map, torch
-    F.interpolate 'nearest' semantics (index = floor(i * in / out))."""
-    b, h, w, k = segmap.shape
-    th, tw = hw
-    if (h, w) == (th, tw):
-        return segmap
-    ih = (jnp.arange(th) * h) // th
-    iw = (jnp.arange(tw) * w) // tw
-    return segmap[:, ih][:, :, iw]
+    F.interpolate 'nearest' semantics (index = floor(i * in / out)).
+    Integer ratios (every generator layer) lower to strided slices /
+    broadcasts — no gathers (see ops.resize.resize_nearest)."""
+    from e4s2024_tpu.ops.resize import resize_nearest
+
+    return resize_nearest(segmap, hw)
 
 
 def regional_modulated_conv2d(

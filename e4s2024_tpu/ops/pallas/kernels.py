@@ -16,6 +16,17 @@ Kernels:
   instead of einsum + mul HBM round trips.
 
 All kernels run in interpret mode on CPU (tests) and compiled on TPU.
+
+MEASURED DECISION (v5e, 512^2 generator, scripts/measure_pallas.py): the
+XLA-fused form WINS — gen[xla] 11.39 ms vs gen[pallas] 16.65 ms in f32
+(ratio 1.46x), and in bf16 the Pallas kernel does not compile on this
+target at all (Mosaic: "Target does not support this comparison" for
+vector<...xbf16> cmpf). Root cause: XLA fuses bias+leaky_relu into the
+producing conv's epilogue — a separate kernel launch forces an extra HBM
+round trip of the full activation tensor. The production path therefore
+uses the plain-jnp form (ops.fused_act, backend "xla"); these kernels stay
+as the benchmarked alternative behind
+`ops.fused_act.set_fused_act_backend("pallas")`.
 """
 
 from __future__ import annotations

@@ -16,11 +16,23 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("size",))
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
-    """torch F.interpolate(mode='nearest'): src index = floor(dst * in / out)."""
-    _, h, w, _ = x.shape
+    """torch F.interpolate(mode='nearest'): src index = floor(dst * in / out).
+
+    Integer-ratio resizes (every use in this framework) lower to strided
+    slices / broadcasts instead of gathers: floor(i*h/th) == i*(h//th) when
+    th | h, and == i // (th//h) when h | th — gathers on NHWC tensors with
+    tiny channel counts stream the 128-lane-padded layout."""
+    b, h, w, c = x.shape
     th, tw = size
     if (h, w) == (th, tw):
         return x
+    if h % th == 0 and w % tw == 0:
+        return x[:, :: h // th, :: w // tw]
+    if th % h == 0 and tw % w == 0:
+        ry, rx = th // h, tw // w
+        out = jnp.broadcast_to(x[:, :, None, :, None, :],
+                               (b, h, ry, w, rx, c))
+        return out.reshape(b, th, tw, c)
     ih = (jnp.arange(th) * h) // th
     iw = (jnp.arange(tw) * w) // tw
     return x[:, ih][:, :, iw]
