@@ -90,10 +90,21 @@ class E4SConfig:
         sec = getattr(cfg, section)
         parser = argparse.ArgumentParser()
         parser.add_argument("--exp_dir", type=str, default=cfg.exp_dir)
+        def _bool(v: str) -> bool:
+            if v.lower() in ("1", "true", "yes", "on"):
+                return True
+            if v.lower() in ("0", "false", "no", "off"):
+                return False
+            raise argparse.ArgumentTypeError(f"not a bool: {v!r}")
+
         for f in dataclasses.fields(sec):
-            if isinstance(f.default, (int, float, str, bool)) or f.default is None:
-                parser.add_argument(f"--{f.name}", type=type(getattr(sec, f.name)),
-                                    default=getattr(sec, f.name))
+            cur = getattr(sec, f.name)
+            if isinstance(cur, bool):
+                # type=bool would parse "--flag False" as True
+                parser.add_argument(f"--{f.name}", type=_bool, default=cur)
+            elif isinstance(cur, (int, float, str)) or cur is None:
+                parser.add_argument(f"--{f.name}", type=type(cur),
+                                    default=cur)
         args = parser.parse_args(argv)
         updates = {k: v for k, v in vars(args).items() if k != "exp_dir"}
         new_sec = dataclasses.replace(sec, **updates)

@@ -77,6 +77,11 @@ class TrainConfig:
     # trains with per-pixel regional modulation at ~1/12 the masked-layer FLOPs
     # (see e4s2024_tpu.ops.modconv) — the recommended TPU training mode.
     regional_mode: str = "exact"
+    # jax.checkpoint around the G forward in the G step: trades one extra
+    # forward for not holding the full 1024^2 activation set through the
+    # perceptual-loss backward — needed to fit reference-sized training
+    # (bs 2 x 1024^2, exact mode) in 16G HBM.
+    remat: bool = False
 
 
 class CoachState(flax.struct.PyTreeNode):
@@ -256,10 +261,17 @@ class Coach:
     def _g_train_step(self, state: CoachState, img, onehot):
         cfg = self.cfg
 
-        def loss_fn(params):
+        def fwd(params, img, onehot):
             recon, _ = self.net.apply(
                 {"params": params, "buffers": state.buffers}, img, onehot,
                 regional_mode=cfg.regional_mode)
+            return recon
+
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            recon = fwd(params, img, onehot)
             loss, metrics = self._recon_loss(recon, img)
             if cfg.adv_lambda > 0 and cfg.train_D:
                 fake_pred = self.disc.apply({"params": state.d_params}, recon)

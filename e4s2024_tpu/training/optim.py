@@ -114,20 +114,23 @@ def optimize_style_vectors(
             "adamax": optax.adamax}
     tx = opts[optimizer](lr)
 
-    def loss_fn(sv):
-        codes = net.apply(variables, sv, method=RGINet.cal_style_codes)
-        recon, _, _ = net.apply(variables, None, codes, onehot,
+    def loss_fn(v, sv, img, onehot):
+        codes = net.apply(v, sv, method=RGINet.cal_style_codes)
+        recon, _, _ = net.apply(v, None, codes, onehot,
                                 method=RGINet.gen_img)
         loss, _ = criterion(recon, img)
         return loss
 
+    # variables/images are jit ARGS (closed-over weights would be baked into
+    # the XLA program as constants — huge compile payloads at full size)
     @jax.jit
-    def run(sv0):
+    def run(v, sv0, img, onehot):
         opt0 = tx.init(sv0)
 
         def step_fn(carry, _):
             sv, opt = carry
-            loss, grads = jax.value_and_grad(loss_fn)(sv)
+            loss, grads = jax.value_and_grad(loss_fn, argnums=1)(
+                v, sv, img, onehot)
             updates, opt = tx.update(grads, opt, sv)
             sv = optax.apply_updates(sv, updates)
             return (sv, opt), loss
@@ -135,4 +138,4 @@ def optimize_style_vectors(
         (sv, _), losses = jax.lax.scan(step_fn, (sv0, opt0), None, length=steps)
         return sv, losses
 
-    return run(init_style_vectors)
+    return run(variables, init_style_vectors, img, onehot)

@@ -70,6 +70,21 @@ class PTIConfig:
     id_lambda: float = 0.1
     face_parsing_lambda: float = 0.1
     l2_lambda: float = 1.0
+    # memory controls for full-res clips: the frame-mean gradient over a
+    # whole clip at 1024^2/512^2 does not fit HBM if every frame's
+    # activations are live at once. `remat` wraps the synthesis in
+    # jax.checkpoint (recompute activations in the backward pass);
+    # `frames_per_chunk` accumulates the gradient over frame chunks inside
+    # ONE jitted step via lax.scan (exact same frame-mean objective when
+    # the chunk size divides the frame count — tune() picks the largest
+    # divisor <= this). Single-device only; on a mesh the frame axis is
+    # already sharded across devices.
+    regional_mode: str = "exact"
+    remat: bool = True
+    # 2 frames/chunk fits 512^2 exact-mode tuning in 16G HBM (the masked
+    # layers carry a frames x 12-region batch; measured: 5 frames/chunk
+    # peaks at 17.2G and OOMs)
+    frames_per_chunk: int | None = 2
 
 
 class PTICoach:
@@ -105,29 +120,64 @@ class PTICoach:
             mask)
 
     def _synth(self, params, buffers, style_vectors, onehot):
-        variables = {"params": params, "buffers": buffers}
-        codes = self.net.apply(variables, style_vectors,
-                               method=RGINet.cal_style_codes)
-        recon, _, _ = self.net.apply(variables, None, codes, onehot,
-                                     method=RGINet.gen_img)
-        return recon
+        def synth(p, sv, oh):
+            v = {"params": p, "buffers": buffers}
+            codes = self.net.apply(v, sv, method=RGINet.cal_style_codes)
+            recon, _, _ = self.net.apply(v, None, codes, oh,
+                                         method=RGINet.gen_img,
+                                         regional_mode=self.cfg.regional_mode)
+            return recon
+
+        if self.cfg.remat:
+            synth = jax.checkpoint(synth)
+        return synth(params, style_vectors, onehot)
+
+    def _chunk_loss(self, params, buffers, frames, onehot, style_vectors,
+                    recolor):
+        cfg = self.cfg
+        recon = self._synth(params, buffers, style_vectors, onehot)
+        loss, metrics = self.criterion(recon, frames)
+        fg = jnp.max(onehot[..., [1, 2, 3, 5, 6, 7, 8, 9, 10]], axis=-1)
+        fg = resize_bilinear(fg[..., None], (recon.shape[1], recon.shape[2]))
+        rloss, _ = self.criterion(recon * fg, recolor * fg)
+        loss = loss + cfg.recolor_lambda * rloss
+        metrics["loss_recolor"] = rloss
+        metrics["loss"] = loss
+        return loss, metrics
 
     def _train_step(self, carry, buffers, frames, onehot, style_vectors, recolor):
+        """One optimizer step on the frame-MEAN gradient. Inputs either
+        (F, ...) — single pass — or chunked (n, cs, ...) — lax.scan gradient
+        accumulation, identical objective (chunks are equal-sized)."""
         params, opt = carry
-        cfg = self.cfg
+        grad_fn = jax.value_and_grad(self._chunk_loss, has_aux=True,
+                                     argnums=0)
 
-        def loss_fn(p):
-            recon = self._synth(p, buffers, style_vectors, onehot)
-            loss, metrics = self.criterion(recon, frames)
-            fg = jnp.max(onehot[..., [1, 2, 3, 5, 6, 7, 8, 9, 10]], axis=-1)
-            fg = resize_bilinear(fg[..., None], (recon.shape[1], recon.shape[2]))
-            rloss, _ = self.criterion(recon * fg, recolor * fg)
-            loss = loss + cfg.recolor_lambda * rloss
-            metrics["loss_recolor"] = rloss
-            metrics["loss"] = loss
-            return loss, metrics
+        if frames.ndim == 4:  # (F, H, W, 3): whole clip at once
+            (_, metrics), grads = grad_fn(params, buffers, frames, onehot,
+                                          style_vectors, recolor)
+        else:                 # (n, cs, ...): accumulate over chunks
+            n = frames.shape[0]
+            m_shape = jax.eval_shape(
+                lambda p: self._chunk_loss(p, buffers, frames[0], onehot[0],
+                                           style_vectors[0], recolor[0])[1],
+                params)
+            zeros = (jax.tree_util.tree_map(jnp.zeros_like, params),
+                     jax.tree_util.tree_map(
+                         lambda s: jnp.zeros(s.shape, s.dtype), m_shape))
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            def body(acc, xs):
+                fr, oh, sv, rc = xs
+                (_, m), g = grad_fn(params, buffers, fr, oh, sv, rc)
+                g_acc = jax.tree_util.tree_map(jnp.add, acc[0], g)
+                m_acc = jax.tree_util.tree_map(jnp.add, acc[1], m)
+                return (g_acc, m_acc), None
+
+            (grads, metrics), _ = jax.lax.scan(
+                body, zeros, (frames, onehot, style_vectors, recolor))
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m / n, metrics)
+
         updates, opt = self.tx.update(grads, opt, params)
         params = optax.apply_updates(params, updates)
         return (params, opt), metrics
@@ -155,6 +205,19 @@ class PTICoach:
         recolor = jnp.asarray(recolor)
         style_vectors = jnp.asarray(style_vectors)
 
+        # frame-chunked gradient accumulation (single-device; on a mesh the
+        # frame axis shards across devices instead): largest divisor of F
+        # <= frames_per_chunk keeps the frame-mean objective exact
+        f = frames.shape[0]
+        if (self.mesh is None and cfg.frames_per_chunk
+                and f > cfg.frames_per_chunk):
+            cs = max(d for d in range(1, cfg.frames_per_chunk + 1)
+                     if f % d == 0)
+            n = f // cs
+            frames, onehot, style_vectors, recolor = (
+                x.reshape((n, cs) + x.shape[1:])
+                for x in (frames, onehot, style_vectors, recolor))
+
         carry = (params, self.tx.init(params))
         history = []
         for _ in range(steps if steps is not None else cfg.max_pti_steps):
@@ -176,6 +239,14 @@ class StitchingConfig:
     id_lambda: float = 0.0
     face_parsing_lambda: float = 0.0
     l2_lambda: float = 1.0
+    # memory controls — same scheme as PTIConfig (remat + frame-chunked
+    # gradient accumulation on a single device)
+    regional_mode: str = "exact"
+    remat: bool = True
+    # 2 frames/chunk fits 512^2 exact-mode tuning in 16G HBM (the masked
+    # layers carry a frames x 12-region batch; measured: 5 frames/chunk
+    # peaks at 17.2G and OOMs)
+    frames_per_chunk: int | None = 2
 
 
 class StitchingCoach:
@@ -186,6 +257,7 @@ class StitchingCoach:
                  cfg: StitchingConfig = StitchingConfig(), mesh=None):
         self.net = net
         self.cfg = cfg
+        self.mesh = mesh
         self.criterion = ReconCriterion(
             loss_params, lpips_lambda=cfg.lpips_lambda, id_lambda=cfg.id_lambda,
             face_parsing_lambda=cfg.face_parsing_lambda, l2_lambda=cfg.l2_lambda)
@@ -202,36 +274,71 @@ class StitchingCoach:
         else:
             self._step = jax.jit(self._train_step, donate_argnums=(0,))
 
-    def _train_step(self, carry, buffers, content_img, border_img, onehot,
+    def _chunk_loss(self, params, buffers, content_img, border_img, onehot,
                     style_vectors):
-        params, opt = carry
         cfg = self.cfg
 
-        def loss_fn(p):
+        def synth(p, sv, oh):
             variables = {"params": p, "buffers": buffers}
-            codes = self.net.apply(variables, style_vectors,
+            codes = self.net.apply(variables, sv,
                                    method=RGINet.cal_style_codes)
-            recon, _, _ = self.net.apply(variables, None, codes, onehot,
-                                         method=RGINet.gen_img)
-            size = recon.shape[1]
-            # foreground from the swapped mask; content/border via morphology
-            fg = 1.0 - jnp.max(onehot[..., [0, 4, 11]], axis=-1)
-            fg = fg[..., None]
-            from e4s2024_tpu.ops.morphology import dilation
-            full = dilation(fg, 2 * cfg.outer_dilation + 1)
-            border = jnp.clip(full - fg, 0.0, 1.0)
-            content = resize_bilinear(fg, (size, size))
-            border = resize_bilinear(border, (size, size))
+            recon, _, _ = self.net.apply(variables, None, codes, oh,
+                                         method=RGINet.gen_img,
+                                         regional_mode=cfg.regional_mode)
+            return recon
 
-            c_loss, metrics = self.criterion(recon * content,
-                                             content_img * content)
-            b_l2 = jnp.mean(jnp.square(recon * border - border_img * border))
-            loss = c_loss + cfg.l2_lambda * b_l2
-            metrics["loss_border_l2"] = b_l2
-            metrics["loss"] = loss
-            return loss, metrics
+        if cfg.remat:
+            synth = jax.checkpoint(synth)
+        recon = synth(params, style_vectors, onehot)
+        size = recon.shape[1]
+        # foreground from the swapped mask; content/border via morphology
+        fg = 1.0 - jnp.max(onehot[..., [0, 4, 11]], axis=-1)
+        fg = fg[..., None]
+        from e4s2024_tpu.ops.morphology import dilation
+        full = dilation(fg, 2 * cfg.outer_dilation + 1)
+        border = jnp.clip(full - fg, 0.0, 1.0)
+        content = resize_bilinear(fg, (size, size))
+        border = resize_bilinear(border, (size, size))
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        c_loss, metrics = self.criterion(recon * content,
+                                         content_img * content)
+        b_l2 = jnp.mean(jnp.square(recon * border - border_img * border))
+        loss = c_loss + cfg.l2_lambda * b_l2
+        metrics["loss_border_l2"] = b_l2
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def _train_step(self, carry, buffers, content_img, border_img, onehot,
+                    style_vectors):
+        """Inputs (F, ...) — single pass — or chunked (n, cs, ...) — scan
+        gradient accumulation (see PTICoach._train_step)."""
+        params, opt = carry
+        grad_fn = jax.value_and_grad(self._chunk_loss, has_aux=True, argnums=0)
+
+        if content_img.ndim == 4:
+            (_, metrics), grads = grad_fn(params, buffers, content_img,
+                                          border_img, onehot, style_vectors)
+        else:
+            n = content_img.shape[0]
+            m_shape = jax.eval_shape(
+                lambda p: self._chunk_loss(p, buffers, content_img[0],
+                                           border_img[0], onehot[0],
+                                           style_vectors[0])[1], params)
+            zeros = (jax.tree_util.tree_map(jnp.zeros_like, params),
+                     jax.tree_util.tree_map(
+                         lambda s: jnp.zeros(s.shape, s.dtype), m_shape))
+
+            def body(acc, xs):
+                ci, bi, oh, sv = xs
+                (_, m), g = grad_fn(params, buffers, ci, bi, oh, sv)
+                return (jax.tree_util.tree_map(jnp.add, acc[0], g),
+                        jax.tree_util.tree_map(jnp.add, acc[1], m)), None
+
+            (grads, metrics), _ = jax.lax.scan(
+                body, zeros, (content_img, border_img, onehot, style_vectors))
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m / n, metrics)
+
         updates, opt = self.tx.update(grads, opt, params)
         params = optax.apply_updates(params, updates)
         return (params, opt), metrics
@@ -250,12 +357,25 @@ class StitchingCoach:
                  False: optax.set_to_zero()}, mask)
         onehot = jax.nn.one_hot(jnp.asarray(labels), self.net.num_seg_cls,
                                 dtype=jnp.float32)
+        content_imgs = jnp.asarray(content_imgs)
+        border_imgs = jnp.asarray(border_imgs)
+        style_vectors = jnp.asarray(style_vectors)
+        cfg = self.cfg
+        f = content_imgs.shape[0]
+        if (self.mesh is None and cfg.frames_per_chunk
+                and f > cfg.frames_per_chunk):
+            cs = max(d for d in range(1, cfg.frames_per_chunk + 1)
+                     if f % d == 0)
+            n = f // cs
+            content_imgs, border_imgs, onehot, style_vectors = (
+                x.reshape((n, cs) + x.shape[1:])
+                for x in (content_imgs, border_imgs, onehot, style_vectors))
         carry = (params, self.tx.init(params))
         history = []
         for _ in range(steps if steps is not None else self.cfg.max_steps):
             carry, metrics = self._step(
-                carry, buffers, jnp.asarray(content_imgs),
-                jnp.asarray(border_imgs), onehot, jnp.asarray(style_vectors))
+                carry, buffers, content_imgs, border_imgs, onehot,
+                style_vectors)
             history.append({k: float(v) for k, v in metrics.items()})
         params, _ = carry
         return {"params": params, "buffers": buffers}, history

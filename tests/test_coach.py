@@ -97,3 +97,39 @@ def test_checkpoint_roundtrip(tmp_path, trained):
     b = jax.tree_util.tree_leaves(state.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_remat_g_step_matches():
+    """cfg.remat (jax.checkpoint around the G forward) is semantically the
+    identity — same loss and same updated params."""
+    rng_np = np.random.default_rng(0)
+    img = rng_np.standard_normal((1, 32, 32, 3)).astype(np.float32) * 0.3
+    seg = np.eye(12, dtype=np.float32)[rng_np.integers(0, 12, (1, 32, 32))]
+    outs = []
+    for remat in (False, True):
+        cfg = TrainConfig(out_size=32, remaining_layer_idx=5,
+                          channel_multiplier=1, encoder_input_size=32,
+                          batch_size=1, lpips_lambda=0.0, id_lambda=0.0,
+                          face_parsing_lambda=0.0, adv_lambda=0.0,
+                          train_D=False, encoder_num_units=(1, 1, 1, 1),
+                          regional_mode="fast", remat=remat)
+        coach = Coach(cfg)
+        state = coach.init_state(jax.random.PRNGKey(0))
+        logs = []
+        state = coach.fit([(img, seg)], state, steps=1,
+                          callback=lambda s, m: logs.append(m))
+        outs.append((logs[0]["loss"], state.params))
+    (l_a, p_a), (l_b, p_b) = outs
+    np.testing.assert_allclose(l_a, l_b, rtol=1e-5)
+    lr = 1e-4  # TrainConfig default learning_rate
+    n_bad = total = 0
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        # Adam steps ~±lr regardless of grad magnitude; recompute fp noise
+        # on near-zero grads can flip rare individual steps
+        assert np.abs(a - b).max() <= 2 * lr + 1e-6
+        close = np.isclose(a, b, rtol=1e-3, atol=1e-5)
+        n_bad += (~close).sum()
+        total += close.size
+    assert n_bad / total < 1e-4, f"{n_bad}/{total} weights diverged"

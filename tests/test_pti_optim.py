@@ -127,3 +127,42 @@ def test_coach_ranger_has_lookahead_state():
         state.g_opt, is_leaf=lambda x: isinstance(x, LookaheadState))
         if isinstance(x := s, LookaheadState)]
     assert leaves, "ranger coach must carry LookaheadState (slow weights)"
+
+
+@pytest.mark.slow
+def test_pti_chunked_matches_whole_clip(tiny, rng):
+    """frames_per_chunk gradient accumulation (lax.scan) must reproduce the
+    whole-clip frame-mean step (fp-reassociation tolerance only)."""
+    net, v = tiny
+    f = 4
+    frames = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.2
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32)
+
+    from e4s2024_tpu.training.pti import PTICoach, PTIConfig
+
+    outs = []
+    for chunk in (None, 2):
+        cfg = PTIConfig(max_pti_steps=1, lpips_lambda=0.0, id_lambda=0.0,
+                        face_parsing_lambda=0.0, frames_per_chunk=chunk,
+                        remat=False)
+        coach = PTICoach(net, {}, cfg)
+        tuned, hist = coach.tune(v, frames=frames, labels=labels,
+                                 style_vectors=sv, recolor=frames, steps=1)
+        outs.append((tuned, hist[-1]["loss"]))
+    (v_a, l_a), (v_b, l_b) = outs
+    np.testing.assert_allclose(l_a, l_b, rtol=1e-4)
+    la = jax.tree_util.tree_leaves(v_a["params"])
+    lb = jax.tree_util.tree_leaves(v_b["params"])
+    lr = 1e-3  # PTIConfig default
+    n_bad = total = 0
+    for a, b in zip(la, lb):
+        a, b = np.asarray(a), np.asarray(b)
+        # Adam steps ~±lr regardless of grad magnitude, so fp-reassociation
+        # noise on near-zero grads can flip individual steps' signs: bound
+        # the per-weight divergence by one step and require it to be rare
+        assert np.abs(a - b).max() <= 2 * lr + 1e-6
+        close = np.isclose(a, b, rtol=1e-2, atol=5e-5)
+        n_bad += (~close).sum()
+        total += close.size
+    assert n_bad / total < 1e-4, f"{n_bad}/{total} weights diverged"
