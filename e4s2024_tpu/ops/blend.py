@@ -149,7 +149,13 @@ def laplacian_pyramid_blend_planar(
     a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray, num_levels: int = 10
 ) -> jnp.ndarray:
     """laplacian_pyramid_blend on (B, C, H, W) planar tensors,
-    mask (B, 1, H, W)."""
+    mask (B, 1, H, W). num_levels is clamped so the coarsest level is
+    >= 2 px (the reference's 10 levels at 1024^2 bottom out at 2 px;
+    smaller images take proportionally fewer levels)."""
+    import math as _math
+
+    num_levels = min(num_levels,
+                     int(_math.log2(min(a.shape[-2], a.shape[-1]))))
     c = a.shape[1]
     g = [jnp.concatenate([a, b, mask], axis=1)]
     for _ in range(num_levels - 1):

@@ -36,6 +36,21 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(dp: int, sp: int, axes: tuple[str, str] = ("dp", "sp")) -> Mesh:
+    """2-D (batch x spatial) mesh: 'dp' shards the batch axis, 'sp' shards
+    image HEIGHT. GSPMD partitions the convolutions spatially and inserts
+    the halo exchanges — the TPU-native answer when a 1024^2 per-device
+    batch slice doesn't fit HBM (SURVEY.md §5.7). Raises if dp*sp devices
+    are unavailable (see make_mesh)."""
+    devs = jax.devices()
+    n = dp * sp
+    if len(devs) < n:
+        raise RuntimeError(
+            f"requested a {dp}x{sp} mesh but only {len(devs)} device(s) "
+            f"are visible on platform {devs[0].platform if devs else '?'}")
+    return Mesh(np.asarray(devs[:n]).reshape(dp, sp), axes)
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -43,3 +58,10 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis))
+
+
+def shard_batch_spatial(mesh: Mesh, axes: tuple[str, str] = ("dp", "sp")
+                        ) -> NamedSharding:
+    """(B, H, W, C): batch over `dp`, height over `sp` (halo exchanges for
+    convs are GSPMD-inserted)."""
+    return NamedSharding(mesh, P(axes[0], axes[1]))

@@ -164,7 +164,14 @@ class Coach:
         shard = None
         if mesh is not None:
             repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("dp"))
+            # batch over 'dp'; with a 2-D (dp, sp) mesh also shard image
+            # HEIGHT over 'sp' (GSPMD partitions the convs spatially with
+            # automatic halo exchange — for when a 1024^2 per-device batch
+            # slice exceeds HBM, SURVEY.md §5.7)
+            if "sp" in mesh.axis_names:
+                data = NamedSharding(mesh, P("dp", "sp"))
+            else:
+                data = NamedSharding(mesh, P("dp"))
             self._g_step = jax.jit(
                 self._g_train_step,
                 in_shardings=(repl, data, data),

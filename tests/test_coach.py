@@ -133,3 +133,24 @@ def test_remat_g_step_matches():
         n_bad += (~close).sum()
         total += close.size
     assert n_bad / total < 1e-4, f"{n_bad}/{total} weights diverged"
+
+
+@pytest.mark.slow
+def test_spatial_sharded_training_step():
+    """2-D (dp x sp) mesh: batch sharded over 'dp', image height over 'sp'
+    (GSPMD spatial conv partitioning with halo exchange). One G+D step must
+    run and produce finite losses on the virtual 8-device mesh (2x4)."""
+    from e4s2024_tpu.parallel import make_mesh_2d
+
+    rng_np = np.random.default_rng(0)
+    mesh = make_mesh_2d(2, 4)
+    cfg = tiny_cfg(batch_size=2, d_every=1, d_reg_every=1)
+    coach = Coach(cfg, mesh=mesh)
+    state = coach.init_state(jax.random.PRNGKey(0))
+    img = rng_np.standard_normal((2, 64, 64, 3)).astype(np.float32) * 0.3
+    seg = np.eye(12, dtype=np.float32)[rng_np.integers(0, 12, (2, 64, 64))]
+    logs = []
+    state = coach.fit([(img, seg)], state, steps=1,
+                      callback=lambda s, m: logs.append(m))
+    assert int(state.step) == 1
+    assert np.isfinite(logs[0]["loss"]) and np.isfinite(logs[0]["d_loss"])

@@ -215,5 +215,9 @@ def test_registry():
 
     with pytest.raises(ValueError, match="DaGAN"):
         make_pose_driver("DaGAN")
-    with pytest.raises(NotImplementedError, match="LIA"):
+    # LIA is implemented; without converted params it must fail loudly
+    with pytest.raises(ValueError, match="LIA"):
         make_pose_driver("LIA")
+    # PIRender stays a documented stub (unshippable in the reference too)
+    with pytest.raises(NotImplementedError, match="PIRender"):
+        make_pose_driver("PIRender")
