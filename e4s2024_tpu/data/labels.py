@@ -70,6 +70,21 @@ for src, dst in {
     _FFHQ_TO_12[src] = dst
 
 
+def lut_map_tpu(labels, lut: np.ndarray):
+    """Apply a small integer LUT to a label map ON DEVICE as a compare/
+    select chain. A jnp gather (`lut[labels]`) costs ~4.8 ms for a
+    (2, 512, 512) map on TPU; the 19-way where-chain is ~0.25 ms and
+    numerically identical."""
+    import jax.numpy as jnp
+
+    out = jnp.zeros_like(labels)
+    for k in range(len(lut)):
+        v = int(lut[k])
+        if v != 0:
+            out = jnp.where(labels == k, v, out)
+    return out
+
+
 def celebahq19_to_face12(mask: np.ndarray) -> np.ndarray:
     """CelebAMask-HQ 19-label map -> internal 12-class map (dataset.py:156)."""
     return _CELEBAHQ_TO_12[np.asarray(mask, dtype=np.int64)]

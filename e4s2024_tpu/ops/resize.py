@@ -12,6 +12,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -54,6 +55,33 @@ def _linear_weights(out_size: int, in_size: int, align_corners: bool):
     return i0, i1, t
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(out_size: int, in_size: int,
+                   align_corners: bool) -> np.ndarray:
+    """(out, in) bilinear interpolation matrix — exactly 2 non-zeros per row.
+
+    Bilinear resize as two small matmuls is the TPU-native form: the
+    jnp.take/gather row-selection alternative streams poorly on TPU (the
+    _parse12 program lost ~2 ms per crop to the gathered 8x logits
+    upsample), while the matmul rides the MXU."""
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros((1,))
+        else:
+            src = np.arange(out_size) * ((in_size - 1) / (out_size - 1))
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size) + 0.5) * scale - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    t = (src - i0).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    np.add.at(m, (np.arange(out_size), i0), 1.0 - t)
+    np.add.at(m, (np.arange(out_size), i1), t)
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("size", "align_corners"))
 def _resize_bilinear_impl(x, size, align_corners):
     _, h, w, _ = x.shape
@@ -62,14 +90,10 @@ def _resize_bilinear_impl(x, size, align_corners):
         return x
     dt = x.dtype
     xf = x.astype(jnp.float32)
-    h0, h1, ty = _linear_weights(th, h, align_corners)
-    w0, w1, tx = _linear_weights(tw, w, align_corners)
-    top = xf[:, h0]
-    bot = xf[:, h1]
-    rows = top + (bot - top) * ty[None, :, None, None]
-    left = rows[:, :, w0]
-    right = rows[:, :, w1]
-    out = left + (right - left) * tx[None, None, :, None]
+    mh = jnp.asarray(_interp_matrix(th, h, align_corners))
+    mw = jnp.asarray(_interp_matrix(tw, w, align_corners))
+    out = jnp.einsum("oh,bhwc->bowc", mh, xf)
+    out = jnp.einsum("pw,bowc->bopc", mw, out)
     return out.astype(dt)
 
 
@@ -96,12 +120,8 @@ def resize_bilinear_planar(t: jnp.ndarray, size: tuple[int, int],
         return t
     dt = t.dtype
     xf = t.astype(jnp.float32)
-    h0, h1, ty = _linear_weights(th, h, align_corners)
-    w0, w1, tx = _linear_weights(tw, w, align_corners)
-    top = jnp.take(xf, h0, axis=-2)
-    bot = jnp.take(xf, h1, axis=-2)
-    rows = top + (bot - top) * ty[:, None]
-    left = jnp.take(rows, w0, axis=-1)
-    right = jnp.take(rows, w1, axis=-1)
-    out = left + (right - left) * tx
+    mh = jnp.asarray(_interp_matrix(th, h, align_corners))
+    mw = jnp.asarray(_interp_matrix(tw, w, align_corners))
+    out = jnp.einsum("oh,...hw->...ow", mh, xf)
+    out = jnp.einsum("pw,...ow->...op", mw, out)
     return out.astype(dt)

@@ -215,8 +215,13 @@ class FaceSwapper:
         return self._parse19_p(self.bisenet_params, img01)
 
     def _parse12_p(self, bisenet_params, img01: jnp.ndarray) -> jnp.ndarray:
-        """(B, S, S, 3) in [0,1] -> (B, 512, 512) 12-class label map."""
-        return jnp.asarray(_FFHQ_TO_12)[self._parse19_p(bisenet_params, img01)]
+        """(B, S, S, 3) in [0,1] -> (B, 512, 512) 12-class label map.
+
+        The 19->12 LUT runs as a where-chain, not a gather (4.8 ms vs
+        0.25 ms on TPU for a 512^2 map — see labels.lut_map_tpu)."""
+        from e4s2024_tpu.data.labels import lut_map_tpu
+
+        return lut_map_tpu(self._parse19_p(bisenet_params, img01), _FFHQ_TO_12)
 
     def _parse12(self, img01: jnp.ndarray) -> jnp.ndarray:
         return self._parse12_p(self.bisenet_params, img01)

@@ -332,12 +332,25 @@ class Coach:
 
     def fit(self, batches: Iterable[tuple[np.ndarray, np.ndarray]],
             state: CoachState, steps: int,
-            callback: Callable[[int, dict], None] | None = None) -> CoachState:
+            callback: Callable[[int, dict], None] | None = None,
+            *,
+            ckpt_dir: str | None = None,
+            save_every: int | None = None,
+            val_batches: Iterable | None = None,
+            val_every: int | None = None,
+            val_steps: int = 4) -> CoachState:
         """Run `steps` training iterations over (img, onehot) batches.
 
-        img: (B, S, S, 3) in [-1, 1]; onehot: (B, 512, 512, K)."""
+        img: (B, S, S, 3) in [-1, 1]; onehot: (B, 512, 512, K).
+
+        With `ckpt_dir`: a checkpoint is written every `save_every` steps
+        (reference checkpoint_me, coach.py:544-568), and, when `val_batches`
+        + `val_every` are given, a validation loss over `val_steps` batches
+        is computed periodically and the best state saved to
+        `<ckpt_dir>/best` (reference best-val save, coach.py:570-631)."""
         cfg = self.cfg
         it = iter(batches)
+        best_val = float("inf")
         for _ in range(steps):
             img, onehot = next(it)
             img = jnp.asarray(img)
@@ -351,9 +364,40 @@ class Coach:
             if cfg.train_G:
                 state, g_metrics = self._g_step(state, img, onehot)
                 metrics.update({k: float(v) for k, v in g_metrics.items()})
+            done = int(state.step)
+            if (ckpt_dir and save_every and done % save_every == 0):
+                self.save_checkpoint(f"{ckpt_dir}/step_{done:08d}", state)
+            if (val_batches is not None and val_every
+                    and done % val_every == 0):
+                metrics["val_loss"] = self.validate(val_batches, state,
+                                                    val_steps)
+                if ckpt_dir and metrics["val_loss"] < best_val:
+                    best_val = metrics["val_loss"]
+                    self.save_checkpoint(f"{ckpt_dir}/best", state)
             if callback is not None:
                 callback(step, metrics)
         return state
+
+    def validate(self, batches: Iterable, state: CoachState,
+                 steps: int = 4) -> float:
+        """Mean reconstruction loss over `steps` validation batches
+        (reference Coach.validate, coach.py:570-622 — no optimizer update)."""
+        if not hasattr(self, "_val_loss_jit"):
+            def val_loss(params, buffers, img, onehot):
+                recon, _ = self.net.apply(
+                    {"params": params, "buffers": buffers}, img, onehot,
+                    regional_mode=self.cfg.regional_mode)
+                loss, _ = self._recon_loss(recon, img)
+                return loss
+            self._val_loss_jit = jax.jit(val_loss)
+        it = iter(batches)
+        losses = []
+        for _ in range(steps):
+            img, onehot = next(it)
+            losses.append(float(self._val_loss_jit(
+                state.params, state.buffers, jnp.asarray(img),
+                jnp.asarray(onehot))))
+        return float(np.mean(losses))
 
     # ---------------- checkpointing ----------------
 

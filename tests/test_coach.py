@@ -154,3 +154,35 @@ def test_spatial_sharded_training_step():
                       callback=lambda s, m: logs.append(m))
     assert int(state.step) == 1
     assert np.isfinite(logs[0]["loss"]) and np.isfinite(logs[0]["d_loss"])
+
+
+def test_fit_checkpoints_and_validates(tmp_path):
+    """fit() writes periodic checkpoints and a best-val checkpoint
+    (reference checkpoint_me/validate, coach.py:544-631)."""
+    import os
+
+    rng_np = np.random.default_rng(0)
+    cfg = TrainConfig(out_size=32, remaining_layer_idx=5, channel_multiplier=1,
+                      encoder_input_size=32, batch_size=1, lpips_lambda=0.0,
+                      id_lambda=0.0, face_parsing_lambda=0.0, adv_lambda=0.0,
+                      train_D=False, encoder_num_units=(1, 1, 1, 1),
+                      regional_mode="fast")
+    coach = Coach(cfg)
+    state = coach.init_state(jax.random.PRNGKey(0))
+
+    def gen():
+        while True:
+            img = rng_np.standard_normal((1, 32, 32, 3)).astype(np.float32) * 0.3
+            seg = np.eye(12, dtype=np.float32)[rng_np.integers(0, 12, (1, 32, 32))]
+            yield img, seg
+
+    logs = []
+    ckdir = str(tmp_path / "ck")
+    state = coach.fit(gen(), state, steps=2,
+                      callback=lambda s, m: logs.append(m),
+                      ckpt_dir=ckdir, save_every=1,
+                      val_batches=gen(), val_every=2, val_steps=1)
+    assert os.path.isdir(os.path.join(ckdir, "step_00000001"))
+    assert os.path.isdir(os.path.join(ckdir, "step_00000002"))
+    assert os.path.isdir(os.path.join(ckdir, "best"))
+    assert any("val_loss" in m for m in logs)
