@@ -73,8 +73,8 @@ def main():
             time.sleep(10)
 
     best = 0.0
-    for _ in range(3):
-        iters = 15
+    for _ in range(4):  # best-of-4: the tunneled chip drifts ~10% run to run
+        iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
             out = swapper.swap_aligned(a, b)

@@ -229,6 +229,23 @@ class FaceSwapper:
     def _onehot(self, seg: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.one_hot(seg, self.cfg.num_seg_cls, dtype=jnp.float32)
 
+    def _onehot_for_model(self, labels: jnp.ndarray) -> jnp.ndarray:
+        """One-hot seg map at the highest resolution the nets consume.
+
+        With remaining_layer_idx < 17 the deepest masked generator layer is
+        at out_size/2 and the encoder pools at <= 64^2, so a full 512^2
+        one-hot (which pads 12 -> 128 lanes, ~270 MB of HBM traffic to
+        create+read) is never needed. Nearest-downsampling LABELS then
+        one-hotting is identical to one-hotting then nearest-downsampling."""
+        s = labels.shape[1]
+        if self.cfg.remaining_layer_idx < 17:
+            target = min(s, max(self.cfg.out_size // 2, 32))
+            step = s // target
+            if step > 1 and s % target == 0:
+                labels = labels[:, ::step, ::step]
+        return jax.nn.one_hot(labels, self.cfg.num_seg_cls,
+                              dtype=self._dtype)
+
     def _style_vectors_p(self, rgi_variables, img_pm1, onehot):
         sv, _ = self.rgi.apply(rgi_variables, img_pm1.astype(self._dtype),
                                onehot.astype(self._dtype),
@@ -288,7 +305,7 @@ class FaceSwapper:
         style_codes = self.rgi.apply(rgi_variables,
                                      swapped_sv.astype(self._dtype),
                                      method=RGINet.cal_style_codes)
-        swapped_onehot = self._onehot(swapped_mask).astype(self._dtype)
+        swapped_onehot = self._onehot_for_model(swapped_mask)
         swapped, _, _ = self.rgi.apply(
             rgi_variables, None, style_codes, swapped_onehot,
             method=RGINet.gen_img,
@@ -332,7 +349,7 @@ class FaceSwapper:
         pair255: (2B, S, S, 3) uint8 (or float in [0, 255])."""
         img01 = pair255.astype(jnp.float32) / 255.0
         masks = self._parse12_p(bisenet_params, img01)
-        onehot = self._onehot(masks)
+        onehot = self._onehot_for_model(masks)
         sv = self._style_vectors_p(rgi_variables, img01 * 2.0 - 1.0, onehot)
         return masks, sv
 
