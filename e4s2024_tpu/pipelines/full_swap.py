@@ -70,33 +70,33 @@ class FullFaceSwapPipeline:
 
     # ---------------- stages ----------------
 
-    def _pose_align(self, s_crop255: np.ndarray, t_crop255: np.ndarray):
+    def _pose_align(self, s_crop255, t_crop255):
         """Stage 2: drive the source toward the target pose when the gap is
-        large (reference :688-743)."""
+        large (reference :688-743). Device-resident in, device-resident out
+        (host round trips of full-res floats cost ~300 ms each over a
+        tunneled transport)."""
         if self.comp.pose_driver is None:
             return s_crop255
         if self.comp.pose_estimator is not None:
             gap = self.comp.pose_estimator.pose_gap(
-                jnp.asarray(s_crop255[None]), jnp.asarray(t_crop255[None]))
-            if gap < self.cfg.pose_gap_threshold:
+                jnp.asarray(s_crop255)[None], jnp.asarray(t_crop255)[None])
+            if float(gap) < self.cfg.pose_gap_threshold:
                 return s_crop255
-        s256 = np.asarray(resize_bilinear(
-            jnp.asarray(s_crop255[None], jnp.float32) / 255.0, (256, 256)))
-        t256 = np.asarray(resize_bilinear(
-            jnp.asarray(t_crop255[None], jnp.float32) / 255.0, (256, 256)))
-        driven = self.comp.pose_driver.drive(jnp.asarray(s256),
-                                             jnp.asarray(t256))
+        s256 = resize_bilinear(
+            jnp.asarray(s_crop255, jnp.float32)[None] / 255.0, (256, 256))
+        t256 = resize_bilinear(
+            jnp.asarray(t_crop255, jnp.float32)[None] / 255.0, (256, 256))
+        driven = self.comp.pose_driver.drive(s256, t256)
         h = s_crop255.shape[0]
-        out = resize_bilinear(driven, (h, h)) * 255.0
-        return np.asarray(out[0])
+        return (resize_bilinear(driven, (h, h)) * 255.0)[0]
 
-    def _enhance(self, img255: np.ndarray, mode: str | None = None):
+    def _enhance(self, img255, mode: str | None = None):
         """Stage 3: face restoration (reference :606-643)."""
         mode = mode or self.cfg.enhancement_mode
         fn = self.comp.enhancers.get(mode)
         if fn is None:
             return img255
-        return np.asarray(fn(jnp.asarray(img255[None], jnp.float32)))[0]
+        return fn(jnp.asarray(img255, jnp.float32)[None])[0]
 
     def _recolor(self, swapped255, target255, d_label19, t_label19):
         """Stage 8: Blender 256 recolor + x4 upscale + edge-aware blend
@@ -118,13 +118,14 @@ class FullFaceSwapPipeline:
             edge = jnp.clip(edge / 255.0, 0.0, 1.0)
             out = blend_with_mask(rec[0], jnp.asarray(swapped255, jnp.float32),
                                   edge[0], up_ratio=cfg.blend_up_ratio)
-            return np.asarray(jnp.clip(out, 0, 255))
-        # classical modes
+            return jnp.clip(out, 0, 255)
+        # classical modes (host-side for idt/hist/mix)
         from e4s2024_tpu.ops.color import skin_color_transfer
 
-        out = skin_color_transfer(swapped255 / 255.0, target255 / 255.0,
+        out = skin_color_transfer(np.asarray(swapped255) / 255.0,
+                                  np.asarray(target255) / 255.0,
                                   cfg.ct_mode)
-        return (out * 255.0).astype(np.float32)
+        return (np.asarray(out) * 255.0).astype(np.float32)
 
     def _inpaint(self, img255: np.ndarray, hole_mask: np.ndarray):
         """Stage 9b: GCFSR hole inpainting + soft blend (reference :223-258)."""
@@ -137,7 +138,7 @@ class FullFaceSwapPipeline:
         soft, _ = soft_erosion(mask)
         blended = blend_with_mask(jnp.asarray(img255, jnp.float32), out[0],
                                   soft[0], 1.0)
-        return np.asarray(jnp.clip(blended, 0, 255))
+        return jnp.clip(blended, 0, 255)
 
     # ---------------- full pipeline ----------------
 
@@ -150,25 +151,27 @@ class FullFaceSwapPipeline:
         driven = self._enhance(driven, "gpen" if "gpen" in self.comp.enhancers
                                else None)
 
+        target_dev = jnp.asarray(target_crop255)
+
         if self.cfg.optimize_w_steps > 0:
-            result = self._swap_with_optimized_w(driven, target_crop255)
+            result = self._swap_with_optimized_w(driven, target_dev)
         else:
             result = self.swapper.swap_aligned(
-                driven[None].astype(np.float32),
-                target_crop255[None].astype(np.float32))
-        swapped = np.asarray(result["image"][0])
+                jnp.asarray(driven, jnp.float32)[None],
+                target_dev.astype(jnp.float32)[None])
+        swapped = result["image"][0].astype(jnp.float32)  # device
 
         # 19-class labels for the recolorer
         if self.cfg.ct_mode == "blender" and self.comp.recolorer is not None:
-            d19 = np.asarray(self.swapper._parse19(
-                jnp.asarray(driven[None], jnp.float32) / 255.0))[0]
-            t19 = np.asarray(self.swapper._parse19(
-                jnp.asarray(target_crop255[None], jnp.float32) / 255.0))[0]
-            swapped = self._recolor(swapped, target_crop255, d19, t19)
+            d19 = self.swapper._parse19(
+                jnp.asarray(driven, jnp.float32)[None] / 255.0)[0]
+            t19 = self.swapper._parse19(
+                target_dev.astype(jnp.float32)[None] / 255.0)[0]
+            swapped = self._recolor(swapped, target_dev, d19, t19)
         elif self.cfg.ct_mode not in ("none", "blender"):
-            swapped = self._recolor(swapped, target_crop255, None, None)
+            swapped = self._recolor(swapped, target_dev, None, None)
 
-        swapped = self._inpaint(swapped, np.asarray(result["hole_mask"][0]))
+        swapped = self._inpaint(swapped, result["hole_mask"][0])
         return self._package(swapped, driven, result)
 
     def _swap_with_optimized_w(self, driven255, target255):
@@ -196,9 +199,11 @@ class FullFaceSwapPipeline:
         return sw._merge_jit(masks[0:1], masks[1:2], svs[0], svs[1], t255)
 
     def _package(self, swapped, driven, result):
+        # the ONE host conversion point (uint8: 4x fewer bytes off-device)
+        img_u8 = jnp.clip(jnp.asarray(swapped), 0, 255).astype(jnp.uint8)
         return {
-            "image": np.clip(swapped, 0, 255).astype(np.uint8),
-            "driven": driven,
+            "image": np.asarray(img_u8),
+            "driven": np.asarray(driven),
             "swapped_mask": np.asarray(result["swapped_mask"][0]),
             "hole_mask": np.asarray(result["hole_mask"][0]),
         }

@@ -134,6 +134,8 @@ class FaceSwapper:
         # profiler all drive individual stages even when swaps run fused.
         self._parse_p_jit = jax.jit(
             lambda packed, x: self._parse12_p(both_p(packed)[1], x))
+        self._parse19_p_jit = jax.jit(
+            lambda packed, x: self._parse19_p(both_p(packed)[1], x))
         self._invert_p_jit = jax.jit(
             lambda packed, img, oh: self._style_vectors_p(rgi_p(packed), img, oh))
         self._synth_p_jit = jax.jit(
@@ -212,7 +214,9 @@ class FaceSwapper:
         return jnp.argmax(lp, axis=1)
 
     def _parse19(self, img01: jnp.ndarray) -> jnp.ndarray:
-        return self._parse19_p(self.bisenet_params, img01)
+        # jitted: an eager BiSeNet forward is ~300 per-op dispatches over the
+        # device tunnel (~1 s/call) — this is on the recolor stage's path
+        return self._parse19_p_jit(self._packed, img01)
 
     def _parse12_p(self, bisenet_params, img01: jnp.ndarray) -> jnp.ndarray:
         """(B, S, S, 3) in [0,1] -> (B, 512, 512) 12-class label map.

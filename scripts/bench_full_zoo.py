@@ -1,0 +1,119 @@
+"""BASELINE.md measurement config 3: full image swap at 1024^2 with the zoo
+active — parsing, regional inversion/synthesis, GPEN enhancement of the
+driven crop, Blender 256^2 recolor + RealESRGAN x4 upscale, GCFSR
+inpainting — random weights, real chip.
+
+Writes BENCH_FULL_ZOO.json and prints one JSON line.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_full_zoo.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/e4s_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from e4s2024_tpu.models.bisenet import BiSeNet
+    from e4s2024_tpu.models.blender import Blender, BlenderRecolorer
+    from e4s2024_tpu.models.gcfsr import FaceInpainting, FaceInpainter
+    from e4s2024_tpu.models.gpen import GPENFullGenerator, GPENEnhancer
+    from e4s2024_tpu.models.rgi import RGINet
+    from e4s2024_tpu.models.rrdb import RRDBNet, RealESRGANUpscaler
+    from e4s2024_tpu.pipelines.full_swap import (
+        FullFaceSwapPipeline, FullSwapConfig, SwapComponents)
+    from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
+
+    size = args.size
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey
+
+    cfg = SwapConfig(out_size=size, remaining_layer_idx=13,
+                     regional_mode="fast", compute_dtype=args.dtype,
+                     jit_mode="staged")
+    rgi = RGINet(out_size=size, remaining_layer_idx=13)
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[
+        np.zeros((1, size, size), int)])
+    rgi_vars = jax.jit(rgi.init)(key(0), jnp.zeros((1, size, size, 3)), seg)
+    bise = jax.jit(BiSeNet().init)(key(1),
+                                   jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(rgi_vars, bise, cfg)
+
+    gpen = GPENFullGenerator(size=512)
+    gpen_p = jax.jit(gpen.init)(key(2), jnp.zeros((1, 512, 512, 3)))["params"]
+    blender = Blender()
+    blend_p = jax.jit(blender.init)(
+        key(3), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 3)),
+        jnp.zeros((1, 256, 256), jnp.int32),
+        jnp.zeros((1, 256, 256), jnp.int32))["params"]
+    rrdb = RRDBNet()
+    rrdb_p = jax.jit(rrdb.init)(key(4), jnp.zeros((1, 64, 64, 3)))["params"]
+    gcfsr = FaceInpainting(out_size=256)
+    gcfsr_p = jax.jit(gcfsr.init)(key(5), jnp.zeros((1, 256, 256, 4)),
+                                  jnp.zeros((1, 1)))["params"]
+
+    comps = SwapComponents(
+        enhancers={"gpen": GPENEnhancer(gpen_p, 512, gpen).enhance_aligned},
+        recolorer=BlenderRecolorer(blend_p),
+        upscaler=RealESRGANUpscaler(rrdb_p, rrdb),
+        inpainter=FaceInpainter(gcfsr_p, model=gcfsr),
+    )
+    pipe = FullFaceSwapPipeline(
+        swapper, comps,
+        FullSwapConfig(ct_mode="blender", face_inpainting=True))
+
+    src = (rng.random((size, size, 3)) * 255).astype(np.float32)
+    tgt = (rng.random((size, size, 3)) * 255).astype(np.float32)
+
+    for attempt in range(4):  # compile with retries
+        try:
+            pipe(src, tgt)
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(10)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = pipe(src, tgt)
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+    assert out["image"].shape == (size, size, 3)
+
+    rec = {
+        "metric": "1024px_full_zoo_swaps_per_sec",
+        "value": round(1.0 / best, 3),
+        "unit": "swaps/s (parse+invert+merge+synth at 1024^2, GPEN 512, "
+                "Blender 256 recolor + RealESR x4, GCFSR inpaint)",
+        "vs_baseline": None,
+        "detail": {"seconds_per_swap": round(best, 3), "size": size,
+                   "note": "BASELINE.md measurement config 3; the reference "
+                           "publishes no number for this path"},
+    }
+    with open(os.path.join(REPO, "BENCH_FULL_ZOO.json"), "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,7 @@ def main():
     pipe = FaceSwapVideoPipeline(
         swapper,
         VideoSwapConfig(swap=cfg, pti=PTIConfig(max_pti_steps=0),
-                        run_pti=False),
+                        run_pti=False, run_stitching=False),
     )
 
     f = args.frame_hw
