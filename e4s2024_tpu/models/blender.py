@@ -282,27 +282,38 @@ class BlenderRecolorer:
     to 256, ImageNet-normalize, run, return [0, 255] RGB."""
 
     def __init__(self, params: dict):
+        from e4s2024_tpu.utils.packing import pack_pytree, unpack_pytree
+
         self.model = Blender()
         self.params = params
-        self._fwd = jax.jit(
-            lambda p, ia, it, ma, mt: self.model.apply({"params": p},
-                                                       ia, it, ma, mt)[0])
+        self._packed, meta = pack_pytree(params)
+
+        def fwd(packed, ia, it, ma, mt):
+            from e4s2024_tpu.ops.resize import resize_bilinear
+
+            p = unpack_pytree(packed, meta)
+
+            def prep(img):
+                img = img.astype(jnp.float32) / 255.0
+                if img.shape[1] != 256:
+                    img = resize_bilinear(img, (256, 256))
+                return (img - _MEAN) / _STD
+
+            def prep_mask(m):
+                m = m[..., None]
+                if m.shape[1] != 256:
+                    m = resize_nearest(m, (256, 256))
+                return m[..., 0]
+
+            out = self.model.apply({"params": p}, prep(ia), prep(it),
+                                   prep_mask(ma), prep_mask(mt))[0]
+            return jnp.clip(out * 255.0, 0, 255)
+
+        # one jitted program, packed params (per-leaf arg marshalling + eager
+        # pre/post glue cost milliseconds per call on tunneled transports)
+        self._fwd = jax.jit(fwd)
 
     def recolor(self, img_a255, img_t255, mask_a19, mask_t19):
-        from e4s2024_tpu.ops.resize import resize_bilinear
-
-        def prep(img):
-            img = jnp.asarray(img, jnp.float32) / 255.0
-            if img.shape[1] != 256:
-                img = resize_bilinear(img, (256, 256))
-            return (img - _MEAN) / _STD
-
-        def prep_mask(m):
-            m = jnp.asarray(m)[..., None]
-            if m.shape[1] != 256:
-                m = resize_nearest(m, (256, 256))
-            return m[..., 0]
-
-        out = self._fwd(self.params, prep(img_a255), prep(img_t255),
-                        prep_mask(mask_a19), prep_mask(mask_t19))
-        return jnp.clip(out * 255.0, 0, 255)
+        return self._fwd(self._packed, jnp.asarray(img_a255),
+                         jnp.asarray(img_t255), jnp.asarray(mask_a19),
+                         jnp.asarray(mask_t19))

@@ -173,30 +173,40 @@ class FaceInpainter:
     mask out the hole, run at 256^2, paste the completion into the hole."""
 
     def __init__(self, params: dict, model: FaceInpainting | None = None):
+        from e4s2024_tpu.utils.packing import pack_pytree, unpack_pytree
+
         self.model = model or FaceInpainting()
         self.size = self.model.out_size
         self.params = params
-        self._fwd = jax.jit(
-            lambda p, x, c: self.model.apply({"params": p}, x, c)[0])
+        self._packed, meta = pack_pytree(params)
+
+        def fwd(packed, img255, hole_mask):
+            p = unpack_pytree(packed, meta)
+            h = img255.shape[1]
+            s = self.size
+            img = img255.astype(jnp.float32) / 255.0
+            img_s = resize_bilinear(img, (s, s))
+            mask = hole_mask.astype(jnp.float32)[..., None]
+            mask = (resize_bilinear(mask, (s, s)) > 0).astype(jnp.float32)
+            lq = img_s * (1.0 - mask)
+            x = jnp.concatenate([lq, mask], axis=-1)
+            cond = jnp.mean(mask, axis=(1, 2, 3))[:, None]
+            out = jnp.clip(self.model.apply({"params": p}, x, cond)[0],
+                           0.0, 1.0)
+            # composite at the ORIGINAL resolution so pixels outside the
+            # hole are untouched (reference composites at its native 256)
+            if h != s:
+                out = resize_bilinear(out, (h, h))
+            mask_h = hole_mask.astype(jnp.float32)[..., None]
+            if mask_h.shape[1] != h:
+                mask_h = (resize_bilinear(mask_h, (h, h)) > 0).astype(
+                    jnp.float32)
+            return (img * (1.0 - mask_h) + out * mask_h) * 255.0
+
+        # one jitted program with packed params (see GPENEnhancer note)
+        self._fwd = jax.jit(fwd)
 
     def inpaint(self, img255: jnp.ndarray, hole_mask: jnp.ndarray) -> jnp.ndarray:
         """img255: (B, H, W, 3) [0,255]; hole_mask: (B, Hm, Wm) float/bool."""
-        h = img255.shape[1]
-        s = self.size
-        img = jnp.asarray(img255, jnp.float32) / 255.0
-        img_s = resize_bilinear(img, (s, s))
-        mask = jnp.asarray(hole_mask, jnp.float32)[..., None]
-        mask = (resize_bilinear(mask, (s, s)) > 0).astype(jnp.float32)
-        lq = img_s * (1.0 - mask)
-        x = jnp.concatenate([lq, mask], axis=-1)
-        cond = jnp.mean(mask, axis=(1, 2, 3))[:, None]
-        out = jnp.clip(self._fwd(self.params, x, cond), 0.0, 1.0)
-        # composite at the ORIGINAL resolution so pixels outside the hole are
-        # untouched (reference composites at its native 256 == input res)
-        if h != s:
-            out = resize_bilinear(out, (h, h))
-        mask_h = jnp.asarray(hole_mask, jnp.float32)[..., None]
-        if mask_h.shape[1] != h:
-            mask_h = (resize_bilinear(mask_h, (h, h)) > 0).astype(jnp.float32)
-        out = img * (1.0 - mask_h) + out * mask_h
-        return out * 255.0
+        return self._fwd(self._packed, jnp.asarray(img255),
+                         jnp.asarray(hole_mask))

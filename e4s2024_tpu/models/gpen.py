@@ -181,23 +181,33 @@ class GPENEnhancer:
 
     def __init__(self, params: dict, size: int = 512,
                  model: GPENFullGenerator | None = None):
+        from e4s2024_tpu.utils.packing import pack_pytree, unpack_pytree
+
         self.size = size
         self.model = model or GPENFullGenerator(size=size)
         self.params = params
-        self._fwd = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x)[0])
+        # whole path in ONE jitted program with packed params: eager pre/post
+        # glue and per-leaf argument marshalling both cost real milliseconds
+        # per call on tunneled transports
+        self._packed, meta = pack_pytree(params)
+
+        def fwd(packed, img255):
+            p = unpack_pytree(packed, meta)
+            h = img255.shape[1]
+            x = img255.astype(jnp.float32) / 127.5 - 1.0
+            if h != self.size:
+                x = resize_bilinear(x, (self.size, self.size))
+            out = self.model.apply({"params": p}, x)[0]
+            out = jnp.clip((out.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+            if h != self.size:
+                out = resize_bilinear(out, (h, h))
+            return out
+
+        self._fwd = jax.jit(fwd)
 
     def enhance_aligned(self, img255: jnp.ndarray) -> jnp.ndarray:
         """img255: (B, H, W, 3) float [0,255] -> enhanced at the same size."""
-        h = img255.shape[1]
-        x = img255 / 127.5 - 1.0
-        if h != self.size:
-            x = resize_bilinear(x, (self.size, self.size))
-        out = self._fwd(self.params, x)
-        out = jnp.clip((out + 1.0) * 127.5, 0, 255)
-        if h != self.size:
-            out = resize_bilinear(out, (h, h))
-        return out
+        return self._fwd(self._packed, jnp.asarray(img255))
 
 
 def landmarks68_to_5(lm68: np.ndarray) -> np.ndarray:

@@ -79,10 +79,15 @@ class RealESRGANUpscaler:
     realesr/image_infer.py:87)."""
 
     def __init__(self, params: dict, model: RRDBNet | None = None):
+        from e4s2024_tpu.utils.packing import pack_pytree, unpack_pytree
+
         self.model = model or RRDBNet()
         self.params = params
-        self._fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        self._packed, meta = pack_pytree(params)
+        self._fwd = jax.jit(lambda packed, x: self.model.apply(
+            {"params": unpack_pytree(packed, meta)},
+            x.astype(jnp.float32) / 255.0))
 
     def upscale(self, img255: jnp.ndarray) -> jnp.ndarray:
-        out = self._fwd(self.params, jnp.asarray(img255) / 255.0)
+        out = self._fwd(self._packed, jnp.asarray(img255))
         return jnp.clip(out * 255.0, 0, 255)

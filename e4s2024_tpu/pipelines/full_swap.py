@@ -147,11 +147,16 @@ class FullFaceSwapPipeline:
         """Swap on pre-aligned crops (use FaceSwapper.swap for full frames).
 
         Returns dict with the final image and intermediates."""
-        driven = self._pose_align(source_crop255, target_crop255)
+        from e4s2024_tpu.pipelines.swap import _as_u8
+
+        # host inputs cross the transport as uint8 (4x fewer bytes than the
+        # float equivalent — a 1024^2 f32 upload costs ~300 ms on a tunnel);
+        # all float casting happens on device
+        src_dev = _as_u8(source_crop255)
+        target_dev = _as_u8(target_crop255)
+        driven = self._pose_align(src_dev, target_dev)
         driven = self._enhance(driven, "gpen" if "gpen" in self.comp.enhancers
                                else None)
-
-        target_dev = jnp.asarray(target_crop255)
 
         if self.cfg.optimize_w_steps > 0:
             result = self._swap_with_optimized_w(driven, target_dev)
@@ -199,11 +204,15 @@ class FullFaceSwapPipeline:
         return sw._merge_jit(masks[0:1], masks[1:2], svs[0], svs[1], t255)
 
     def _package(self, swapped, driven, result):
-        # the ONE host conversion point (uint8: 4x fewer bytes off-device)
+        # the ONE host conversion point — everything quantized to uint8 ON
+        # DEVICE first (a 1024^2 float fetch costs ~300 ms on a tunneled
+        # transport; uint8 is 4x fewer bytes)
         img_u8 = jnp.clip(jnp.asarray(swapped), 0, 255).astype(jnp.uint8)
+        drv_u8 = jnp.clip(jnp.asarray(driven), 0, 255).astype(jnp.uint8)
         return {
             "image": np.asarray(img_u8),
-            "driven": np.asarray(driven),
-            "swapped_mask": np.asarray(result["swapped_mask"][0]),
+            "driven": np.asarray(drv_u8),
+            "swapped_mask": np.asarray(
+                result["swapped_mask"][0].astype(jnp.uint8)),
             "hole_mask": np.asarray(result["hole_mask"][0]),
         }
