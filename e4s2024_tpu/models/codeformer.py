@@ -271,18 +271,26 @@ class CodeFormerEnhancer:
     CodeFormerInfer): [-1,1] at 512^2, fidelity weight w (default 0.5)."""
 
     def __init__(self, params: dict, w: float = 0.5):
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
         self.model = CodeFormer()
         self.params = params
         self.w = w
-        self._fwd = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x, self.w)[0])
+
+        def fwd(p, img255):
+            h = img255.shape[1]
+            x = img255.astype(jnp.float32) / 127.5 - 1.0
+            if h != 512:
+                x = resize_bilinear(x, (512, 512))
+            out = self.model.apply({"params": p}, x, self.w)[0]
+            out = jnp.clip((out.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+            if h != 512:
+                out = resize_bilinear(out, (h, h))
+            return out
+
+        # one jitted program, packed params (eager glue + per-leaf arg
+        # marshalling cost milliseconds per call on tunneled transports)
+        self._fwd = jit_with_packed_params(fwd, params)
 
     def enhance_aligned(self, img255: jnp.ndarray) -> jnp.ndarray:
-        h = img255.shape[1]
-        x = jnp.asarray(img255, jnp.float32) / 127.5 - 1.0
-        if h != 512:
-            x = resize_bilinear(x, (512, 512))
-        out = jnp.clip((self._fwd(self.params, x) + 1.0) * 127.5, 0, 255)
-        if h != 512:
-            out = resize_bilinear(out, (h, h))
-        return out
+        return self._fwd(jnp.asarray(img255))

@@ -350,7 +350,10 @@ class DaGANDriver:
         self.gen = DepthAwareGenerator(num_kp=num_kp,
                                        dense_motion=dense_motion)
         self.params = params
-        self._animate = jax.jit(self._animate_p)
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
+        # packed params: per-leaf arg marshalling costs ~10 us/leaf/call
+        self._animate = jit_with_packed_params(self._animate_p, params)
 
     def _depth(self, params, img01):
         feats = self.enc.apply({"params": params["depth_encoder"]}, img01)
@@ -371,4 +374,4 @@ class DaGANDriver:
                  driving01: jnp.ndarray) -> jnp.ndarray:
         """source01/driving01: (B, 256, 256, 3) in [0,1] -> reenacted
         source in [0,1]."""
-        return self._animate(self.params, source01, driving01)
+        return self._animate(source01, driving01)

@@ -543,28 +543,51 @@ class FaceVid2VidDriver:
 
     def __init__(self, params: dict, kp: KPDetector | None = None,
                  he: HEEstimator | None = None,
-                 gen: OcclusionAwareSPADEGenerator | None = None):
+                 gen: OcclusionAwareSPADEGenerator | None = None,
+                 frames_per_batch: int = 4):
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
         self.kp = kp or KPDetector()
         self.he = he or HEEstimator()
         self.gen = gen or OcclusionAwareSPADEGenerator()
         self.params = params
-        self._kp_fwd = jax.jit(
-            lambda p, x: self.kp.apply({"params": p["kp_detector"]}, x))
-        self._he_fwd = jax.jit(
-            lambda p, x: self.he.apply({"params": p["he_estimator"]}, x))
-        self._gen_fwd = jax.jit(
-            lambda p, s, kd, ks: self.gen.apply({"params": p["generator"]},
-                                                s, kd, ks)["prediction"])
+        self.frames_per_batch = frames_per_batch
+        # packed params (~2,500 leaves across the three nets would cost
+        # ~25 ms of argument marshalling per call on tunneled transports)
+        self._kp_fwd = jit_with_packed_params(
+            lambda p, x: self.kp.apply({"params": p["kp_detector"]}, x),
+            params)
+        self._he_fwd = jit_with_packed_params(
+            lambda p, x: self.he.apply({"params": p["he_estimator"]}, x),
+            params)
+
+        def gen_batch(p, src, kp_c, he_drv, kp_src_v):
+            """One program: per-frame keypoint transform + generator, frames
+            batched (the reference loops frames one generator call at a
+            time, drive_demo.py:241-259)."""
+            f = he_drv["yaw"].shape[0]
+            kp_drv = keypoint_transformation(
+                {"value": jnp.tile(kp_c["value"], (f, 1, 1))}, he_drv)
+            src_f = jnp.tile(src, (f, 1, 1, 1))
+            kp_src = {"value": jnp.tile(kp_src_v[None], (f, 1, 1))}
+            return self.gen.apply({"params": p["generator"]}, src_f,
+                                  kp_drv, kp_src)["prediction"]
+
+        self._gen_batch = jit_with_packed_params(gen_batch, params)
 
     def drive(self, source01: jnp.ndarray, targets01: jnp.ndarray) -> jnp.ndarray:
         """source01: (1, 256, 256, 3) [0,1]; targets01: (F, 256, 256, 3).
         Returns (F, 256, 256, 3) driven frames in [0,1]."""
-        kp_canon = self._kp_fwd(self.params, source01)
-        he_src = self._he_fwd(self.params, source01)
+        source01 = jnp.asarray(source01)
+        targets01 = jnp.asarray(targets01)
+        kp_canon = self._kp_fwd(source01)
+        he_src = self._he_fwd(source01)
         kp_src = keypoint_transformation(kp_canon, he_src)
         outs = []
-        for i in range(targets01.shape[0]):
-            he_drv = self._he_fwd(self.params, targets01[i:i + 1])
-            kp_drv = keypoint_transformation(kp_canon, he_drv)
-            outs.append(self._gen_fwd(self.params, source01, kp_drv, kp_src))
+        b = self.frames_per_batch
+        for i in range(0, targets01.shape[0], b):
+            chunk = targets01[i:i + b]
+            he_drv = self._he_fwd(chunk)
+            outs.append(self._gen_batch(source01, kp_canon, he_drv,
+                                        kp_src["value"][0]))
         return jnp.concatenate(outs, axis=0)

@@ -235,17 +235,25 @@ class GFPGANEnhancer:
     """Aligned-crop restoration at 512^2 (the reference's `face_restoration`)."""
 
     def __init__(self, params: dict, model: GFPGANv1Clean | None = None):
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
         self.model = model or GFPGANv1Clean()
         self.params = params
-        self._fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x)[0])
+
+        def fwd(p, img255):
+            h = img255.shape[1]
+            s = self.model.out_size
+            x = img255.astype(jnp.float32) / 127.5 - 1.0
+            if h != s:
+                x = resize_bilinear(x, (s, s))
+            out = self.model.apply({"params": p}, x)[0]
+            out = jnp.clip((out.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+            if h != s:
+                out = resize_bilinear(out, (h, h))
+            return out
+
+        # one jitted program, packed params (see utils.packing)
+        self._fwd = jit_with_packed_params(fwd, params)
 
     def enhance_aligned(self, img255: jnp.ndarray) -> jnp.ndarray:
-        h = img255.shape[1]
-        s = self.model.out_size
-        x = jnp.asarray(img255, jnp.float32) / 127.5 - 1.0
-        if h != s:
-            x = resize_bilinear(x, (s, s))
-        out = jnp.clip((self._fwd(self.params, x) + 1.0) * 127.5, 0, 255)
-        if h != s:
-            out = resize_bilinear(out, (h, h))
-        return out
+        return self._fwd(jnp.asarray(img255))

@@ -85,7 +85,9 @@ class PoseEstimator:
 
             return expect(y), expect(pi), expect(r)
 
-        self._fwd = jax.jit(fwd)
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
+        self._fwd = jit_with_packed_params(fwd, params)
 
     def estimate(self, img255: jnp.ndarray):
         """img255: (B, H, W, 3) [0,255] -> (yaw, pitch, roll) in degrees."""
@@ -93,7 +95,7 @@ class PoseEstimator:
         if x.shape[1] != 224:
             x = resize_bilinear(x, (224, 224))
         x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
-        return self._fwd(self.params, x)
+        return self._fwd(x)
 
     def pose_gap(self, img_a255, img_b255) -> float:
         """Max |angle difference| across yaw/pitch/roll — the reenactment gate

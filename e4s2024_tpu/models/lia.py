@@ -225,7 +225,10 @@ class LIADriver:
     def __init__(self, params: dict, size: int = 256, motion_dim: int = 20):
         self.gen = LIAGenerator(size=size, motion_dim=motion_dim)
         self.params = params
-        self._animate = jax.jit(self._animate_p)
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
+        # packed params: per-leaf arg marshalling costs ~10 us/leaf/call
+        self._animate = jit_with_packed_params(self._animate_p, params)
 
     def _animate_p(self, params, source_pm1, driving_pm1):
         h_start = self.gen.apply({"params": params}, source_pm1,
@@ -236,4 +239,4 @@ class LIADriver:
     def __call__(self, source_pm1: jnp.ndarray,
                  driving_pm1: jnp.ndarray) -> jnp.ndarray:
         """(B, 256, 256, 3) in [-1, 1] -> reenacted source in [-1, 1]."""
-        return self._animate(self.params, source_pm1, driving_pm1)
+        return self._animate(source_pm1, driving_pm1)

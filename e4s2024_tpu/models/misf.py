@@ -165,9 +165,11 @@ class MISFInpainter:
     the hole only."""
 
     def __init__(self, params: dict, num_kernels: int = 256):
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
         self.model = MISFGenerator(num_kernels=num_kernels)
-        self._apply = jax.jit(
-            lambda p, img, mask: self._forward(p, img, mask))
+        self._apply = jit_with_packed_params(
+            lambda p, img, mask: self._forward(p, img, mask), params)
         self.params = params
 
     def _forward(self, params, img01, mask):
@@ -178,4 +180,4 @@ class MISFInpainter:
 
     def __call__(self, img01: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """img01: (B, H, W, 3) in [0,1]; mask: (B, H, W, 1), 1 = hole."""
-        return self._apply(self.params, img01, mask)
+        return self._apply(img01, mask)

@@ -184,9 +184,13 @@ class SwinIRUpscaler:
     image_infer.py:50-66)."""
 
     def __init__(self, params: dict, model: SwinIR | None = None):
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
         self.model = model or SwinIR()
         self.params = params
-        self._fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        # packed params: per-leaf argument marshalling costs ~10 us/leaf/call
+        self._fwd = jit_with_packed_params(
+            lambda p, x: self.model.apply({"params": p}, x), params)
 
     def upscale(self, img255: jnp.ndarray) -> jnp.ndarray:
         x = jnp.asarray(img255, jnp.float32) / 255.0
@@ -197,6 +201,6 @@ class SwinIRUpscaler:
         if hp or wp:
             x = jnp.concatenate([x, jnp.flip(x[:, -hp:], 1)], 1) if hp else x
             x = jnp.concatenate([x, jnp.flip(x[:, :, -wp:], 2)], 2) if wp else x
-        out = self._fwd(self.params, x)
+        out = self._fwd(x)
         out = out[:, : h * self.model.scale, : w * self.model.scale]
         return jnp.clip(out * 255.0, 0, 255)

@@ -362,7 +362,10 @@ class TPSMMDriver:
         self.dm = TPSDenseMotion(num_tps=num_tps)
         self.inp = TPSInpainting()
         self.params = params
-        self._animate = jax.jit(self._animate_p)
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
+        # packed params: per-leaf arg marshalling costs ~10 us/leaf/call
+        self._animate = jit_with_packed_params(self._animate_p, params)
 
     def _animate_p(self, params, source01, driving01):
         kp_s = self.kp.apply({"params": params["kp_detector"]}, source01)
@@ -376,4 +379,4 @@ class TPSMMDriver:
                  driving01: jnp.ndarray) -> jnp.ndarray:
         """source01/driving01: (B, 256, 256, 3) in [0, 1] -> reenacted
         source in [0, 1]."""
-        return self._animate(self.params, source01, driving01)
+        return self._animate(source01, driving01)

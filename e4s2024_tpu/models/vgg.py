@@ -91,7 +91,9 @@ class StyleGramLoss:
                 loss = loss + jnp.mean(jnp.square(gram_matrix(a) - gram_matrix(b)))
             return loss
 
-        self._fwd = jax.jit(fwd)
+        from e4s2024_tpu.utils.packing import jit_with_packed_params
+
+        self._fwd = jit_with_packed_params(fwd, params)
 
     def __call__(self, x, x_hat, mask_x=None, mask_x_hat=None):
-        return self._fwd(self.params, x, x_hat, mask_x, mask_x_hat)
+        return self._fwd(x, x_hat, mask_x, mask_x_hat)

@@ -49,3 +49,16 @@ def unpack_pytree(buffers, meta):
             size = int(np.prod(shape)) if shape else 1
             leaves[i] = jax.lax.slice(buf, (off,), (off + size,)).reshape(shape)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def jit_with_packed_params(fn, params):
+    """jax.jit(fn) with `params` packed once into per-dtype buffers.
+
+    `fn(params, *args)` -> returned callable takes `(*args)`. Model wrappers
+    use this so every call passes 1-3 buffer handles instead of a
+    hundreds-of-leaves pytree (~10 us per leaf per call on tunneled
+    transports).
+    """
+    packed, meta = pack_pytree(params)
+    jfn = jax.jit(lambda pk, *a: fn(unpack_pytree(pk, meta), *a))
+    return lambda *a: jfn(packed, *a)

@@ -193,7 +193,8 @@ def test_converter_structure(rng):
     driver = DaGANDriver.__new__(DaGANDriver)
     driver.enc, driver.dec, driver.kp, driver.gen = enc, dec, kp, gen
     driver.params = params
-    driver._animate = jax.jit(driver._animate_p)
+    from e4s2024_tpu.utils.packing import jit_with_packed_params
+    driver._animate = jit_with_packed_params(driver._animate_p, driver.params)
 
     src = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
     drv = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))

@@ -58,7 +58,8 @@ def test_generator_end_to_end(rng):
     driver = LIADriver.__new__(LIADriver)
     driver.gen = gen
     driver.params = variables["params"]
-    driver._animate = jax.jit(driver._animate_p)
+    from e4s2024_tpu.utils.packing import jit_with_packed_params
+    driver._animate = jit_with_packed_params(driver._animate_p, driver.params)
     out3 = np.asarray(driver(src, drv))
     np.testing.assert_allclose(out3, np.asarray(out), atol=5e-3)
 

@@ -56,7 +56,9 @@ def test_generator_and_inpainter(rng):
 
     inp = MISFInpainter.__new__(MISFInpainter)
     inp.model = gen
-    inp._apply = jax.jit(lambda p, i, m: inp._forward(p, i, m))
+    from e4s2024_tpu.utils.packing import jit_with_packed_params
+    inp._apply = jit_with_packed_params(
+        lambda p, i, m: inp._forward(p, i, m), params)
     inp.params = params
     img = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
     mask = np.zeros((1, 64, 64, 1), np.float32)

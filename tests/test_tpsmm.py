@@ -123,7 +123,8 @@ def test_tpsmm_end_to_end(rng, small_nets):
     driver.kp, driver.dm, driver.inp = kp, dm, inp
     driver.params = {"kp_detector": kp_params, "dense_motion": dm_params,
                      "inpainting": in_params}
-    driver._animate = jax.jit(driver._animate_p)
+    from e4s2024_tpu.utils.packing import jit_with_packed_params
+    driver._animate = jit_with_packed_params(driver._animate_p, driver.params)
     out2 = driver(src, drv)
     # jit vs eager differ by fusion rounding through the TPS solve
     np.testing.assert_allclose(np.asarray(out2), o, atol=2e-3)
