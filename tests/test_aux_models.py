@@ -44,7 +44,8 @@ def test_pose_estimator_gap(hopenet, rng):
             return jnp.sum(jax.nn.softmax(logits, -1) * idx, -1) * 3.0 - 99.0
         return expect(yy), expect(pp), expect(rr)
 
-    est._fwd = jax.jit(fwd)
+    from e4s2024_tpu.utils.packing import jit_with_packed_params
+    est._fwd = jit_with_packed_params(fwd, params)
     a = (rng.random((1, 128, 128, 3)) * 255).astype(np.float32)
     gap = est.pose_gap(a, a)
     assert gap == pytest.approx(0.0, abs=1e-4)
