@@ -42,11 +42,11 @@ def main(argv=None):
         if step % 50 == 0:
             msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
             print(f"[step {step}] {msg}", flush=True)
-        if step > 0 and step % 10_000 == 0:
-            coach.save_checkpoint(
-                os.path.join(cfg.exp_dir, f"ckpt_{step}"), state)
 
-    coach.fit(batches, state, steps=cfg.train.max_steps, callback=log)
+    # periodic checkpoints via fit (a callback closing over `state` would
+    # save the stale initial pytree — fit sees the LIVE state)
+    coach.fit(batches, state, steps=cfg.train.max_steps, callback=log,
+              ckpt_dir=cfg.exp_dir, save_every=10_000)
 
 
 if __name__ == "__main__":
