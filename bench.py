@@ -14,6 +14,18 @@ Backend notes (axon TPU tunnel):
 Baseline: the reference publishes no numbers (BASELINE.md); the north-star
 target is 50 swaps/sec/chip on v5e, so vs_baseline = value / 50.
 
+Why random weights are valid here: the swap is a static XLA program — its op
+graph, shapes and FLOPs are fixed at trace time and independent of weight
+values, so steady-state throughput with random weights equals throughput with
+trained weights. The one data-dependent knob is the parsed mask distribution
+feeding the regional synthesis: random weights make argmax collapse to one
+class. That is immaterial for `regional_mode="fast"` (masking is a dense
+where — same work for any mask), and for "exact" mode the per-region einsum
+is dense regardless of the one-hot's sparsity pattern (XLA does not exploit
+value sparsity), so a realistic multi-class mask hits the identical code
+path and cost. tests/test_swap_pipeline.py exercises the same program with
+multi-class masks for correctness.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 

@@ -171,8 +171,8 @@ class FaceSwapper:
 
     @rgi_variables.setter
     def rgi_variables(self, v):
+        self._repack(rgi=v)
         self._rgi_variables = v
-        self._repack()
 
     @property
     def bisenet_params(self):
@@ -180,16 +180,29 @@ class FaceSwapper:
 
     @bisenet_params.setter
     def bisenet_params(self, v):
+        self._repack(bise=v)
         self._bisenet_params = v
-        self._repack()
 
-    def _repack(self):
-        self._packed, meta = pack_pytree(
-            {"rgi": self._rgi_variables, "bise": self._bisenet_params})
+    def _repack(self, rgi=None, bise=None):
+        """Rebuild the packed buffers; validates BEFORE committing state so a
+        bad assignment leaves the swapper usable."""
+        packed, meta = pack_pytree({
+            "rgi": self._rgi_variables if rgi is None else rgi,
+            "bise": self._bisenet_params if bise is None else bise,
+        })
         # meta is trace-time constant: keep the FIRST one so weight updates
         # (same structure) never force a retrace via new meta identity
         if not hasattr(self, "_pack_meta"):
             self._pack_meta = meta
+        elif (meta[0] != self._pack_meta[0]
+              or meta[1] != self._pack_meta[1]):
+            # a params assignment with a different tree structure / leaf
+            # shapes would silently unpack garbage through the frozen meta
+            raise ValueError(
+                "params tree structure/shapes changed since the swapper was "
+                "built; construct a new FaceSwapper for a different "
+                "architecture (packed-buffer meta is frozen at first pack)")
+        self._packed = packed
 
     # ---------------- jitted core ----------------
 

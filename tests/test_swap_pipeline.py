@@ -50,3 +50,27 @@ def test_swap_full_with_landmarks(swapper, rng):
     out = swapper.swap(src, tgt)
     assert out.shape == (160, 160, 3)
     assert out.dtype == np.uint8
+
+
+def test_pack_meta_frozen_structure_guard(swapper):
+    """A params assignment with a different tree structure/shape must raise,
+    not silently unpack garbage through the frozen packed-buffer meta."""
+    # same structure, new values: allowed (this is the PTI write-back path)
+    swapper.rgi_variables = jax.tree_util.tree_map(
+        lambda x: x, swapper.rgi_variables)
+
+    bad = dict(swapper.rgi_variables)
+    bad["extra_leaf"] = jnp.zeros((3,))
+    with pytest.raises(ValueError, match="structure"):
+        swapper.rgi_variables = bad
+
+    # shape change with identical structure must also raise
+    good = swapper.rgi_variables
+    leaves, treedef = jax.tree_util.tree_flatten(good)
+    leaves = list(leaves)
+    leaves[0] = jnp.zeros(tuple(d + 1 for d in leaves[0].shape),
+                          leaves[0].dtype)
+    with pytest.raises(ValueError, match="structure"):
+        swapper.rgi_variables = jax.tree_util.tree_unflatten(treedef, leaves)
+    # restore for other tests
+    swapper.rgi_variables = good
