@@ -1300,3 +1300,152 @@ def convert_vgg16(sd: Mapping[str, np.ndarray]) -> dict:
             idx = int(k.split(".")[1])
             out[f"conv_{idx}"] = _conv(sd, f"features.{idx}")
     return out
+
+
+# --------------------------------------------------------------- RetinaFace
+
+
+def _conv_bn_seq(sd, name, conv_idx=0, bn_idx=1):
+    """A reference `conv_bn`/`conv_bn1X1`/`conv_bn_no_relu` Sequential
+    (gpen/face_detect/facemodels/net.py:9-27) -> ConvBNLeaky params."""
+    return {"conv": _conv(sd, f"{name}.{conv_idx}"),
+            "bn": _bn(sd, f"{name}.{bn_idx}")}
+
+
+def _conv_dw(sd, name):
+    """reference `conv_dw` Sequential (net.py:29-38): 0=dw conv, 1=bn,
+    3=pw conv, 4=bn -> ConvDW params."""
+    return {"dw": _conv_bn_seq(sd, name, 0, 1),
+            "pw": _conv_bn_seq(sd, name, 3, 4)}
+
+
+def _fold_bgr_mean_into_stem(conv_kernel: np.ndarray, bn: dict,
+                             mean_bgr=(104.0, 117.0, 123.0)):
+    """RetinaFace checkpoints are trained on BGR input minus (104, 117, 123)
+    (reference retinaface_detection.py:72-73). Fold both into the stem so the
+    Flax net takes raw RGB [0,255]: flip the kernel's input channels and add
+    conv(W, mean) to the BN running mean."""
+    k = conv_kernel[:, :, ::-1, :].copy()  # HWIO: flip I (BGR -> RGB)
+    m = np.asarray(mean_bgr, np.float32)
+    shift = np.einsum("hwio,i->o", conv_kernel, m)
+    bn = dict(bn)
+    bn["mean"] = bn["mean"] + shift
+    return k, bn
+
+
+def convert_retinaface(sd: Mapping[str, np.ndarray],
+                       cfg: Mapping[str, Any] | None = None) -> dict:
+    """Map a RetinaFace checkpoint (reference gpen/face_detect/facemodels/
+    retinaface.py:48; `mobilenet0.25_Final.pth` / `RetinaFace-R50.pth`)
+    onto models.retinaface.RetinaFace params. Folds the BGR+mean
+    preprocessing into the stem (see _fold_bgr_mean_into_stem)."""
+    from e4s2024_tpu.models.retinaface import CFG_MNET
+
+    cfg = cfg or CFG_MNET
+    sd = strip_module_prefix(sd)
+    out: dict[str, Any] = {}
+
+    if cfg["backbone"] == "mobilenet":
+        body: dict[str, Any] = {"stem": _conv_bn_seq(sd, "body.stage1.0")}
+        for i in range(5):
+            body[f"s1_{i}"] = _conv_dw(sd, f"body.stage1.{i + 1}")
+        for i in range(6):
+            body[f"s2_{i}"] = _conv_dw(sd, f"body.stage2.{i}")
+        for i in range(2):
+            body[f"s3_{i}"] = _conv_dw(sd, f"body.stage3.{i}")
+        k, bn = _fold_bgr_mean_into_stem(body["stem"]["conv"]["kernel"],
+                                         body["stem"]["bn"])
+        body["stem"]["conv"]["kernel"], body["stem"]["bn"] = k, bn
+    else:  # resnet50 (torchvision trunk, layers 3/4/6/3)
+        body = {"conv1": _conv(sd, "body.conv1"), "bn1": _bn(sd, "body.bn1")}
+        for li, n in enumerate((3, 4, 6, 3)):
+            for bi in range(n):
+                t = f"body.layer{li + 1}.{bi}"
+                blk = {
+                    "conv1": _conv(sd, f"{t}.conv1"),
+                    "bn1": _bn(sd, f"{t}.bn1"),
+                    "conv2": _conv(sd, f"{t}.conv2"),
+                    "bn2": _bn(sd, f"{t}.bn2"),
+                    "conv3": _conv(sd, f"{t}.conv3"),
+                    "bn3": _bn(sd, f"{t}.bn3"),
+                }
+                if f"{t}.downsample.0.weight" in sd:
+                    blk["down_conv"] = _conv(sd, f"{t}.downsample.0")
+                    blk["down_bn"] = _bn(sd, f"{t}.downsample.1")
+                body[f"layer{li + 1}_{bi}"] = blk
+        k, bn = _fold_bgr_mean_into_stem(body["conv1"]["kernel"],
+                                         body["bn1"])
+        body["conv1"]["kernel"], body["bn1"] = k, bn
+    out["body"] = body
+
+    out["fpn"] = {
+        "output1": _conv_bn_seq(sd, "fpn.output1"),
+        "output2": _conv_bn_seq(sd, "fpn.output2"),
+        "output3": _conv_bn_seq(sd, "fpn.output3"),
+        "merge1": _conv_bn_seq(sd, "fpn.merge1"),
+        "merge2": _conv_bn_seq(sd, "fpn.merge2"),
+    }
+    for i in range(1, 4):
+        out[f"ssh{i}"] = {
+            "conv3x3": _conv_bn_seq(sd, f"ssh{i}.conv3X3"),
+            "conv5x5_1": _conv_bn_seq(sd, f"ssh{i}.conv5X5_1"),
+            "conv5x5_2": _conv_bn_seq(sd, f"ssh{i}.conv5X5_2"),
+            "conv7x7_2": _conv_bn_seq(sd, f"ssh{i}.conv7X7_2"),
+            "conv7x7_3": _conv_bn_seq(sd, f"ssh{i}.conv7x7_3"),
+        }
+    for i in range(3):
+        out[f"class_head{i}"] = _conv(sd, f"ClassHead.{i}.conv1x1")
+        out[f"bbox_head{i}"] = _conv(sd, f"BboxHead.{i}.conv1x1")
+        out[f"landmark_head{i}"] = _conv(sd, f"LandmarkHead.{i}.conv1x1")
+    return out
+
+
+# ---------------------------------------------------------------------- FAN
+
+
+def _fan_convblock(sd, name):
+    """face-alignment ConvBlock -> models.fan.ConvBlock params (downsample =
+    Sequential(bn, relu, conv) -> indices 0 and 2)."""
+    out = {
+        "bn1": _bn(sd, f"{name}.bn1"),
+        "conv1": _conv(sd, f"{name}.conv1"),
+        "bn2": _bn(sd, f"{name}.bn2"),
+        "conv2": _conv(sd, f"{name}.conv2"),
+        "bn3": _bn(sd, f"{name}.bn3"),
+        "conv3": _conv(sd, f"{name}.conv3"),
+    }
+    if f"{name}.downsample.0.running_mean" in sd:
+        out["down_bn"] = _bn(sd, f"{name}.downsample.0")
+        out["down_conv"] = _conv(sd, f"{name}.downsample.2")
+    return out
+
+
+def convert_fan(sd: Mapping[str, np.ndarray], num_modules: int = 4,
+                depth: int = 4) -> dict:
+    """Map a face-alignment FAN checkpoint (`2DFAN4*.pth` — the landmark net
+    the reference accepts at utils/alignment.py:41-64) onto models.fan.FAN
+    params."""
+    sd = strip_module_prefix(sd)
+    out: dict[str, Any] = {
+        "conv1": _conv(sd, "conv1"),
+        "bn1": _bn(sd, "bn1"),
+        "conv2": _fan_convblock(sd, "conv2"),
+        "conv3": _fan_convblock(sd, "conv3"),
+        "conv4": _fan_convblock(sd, "conv4"),
+    }
+    for i in range(num_modules):
+        hg: dict[str, Any] = {}
+        for level in range(1, depth + 1):
+            hg[f"b1_{level}"] = _fan_convblock(sd, f"m{i}.b1_{level}")
+            hg[f"b2_{level}"] = _fan_convblock(sd, f"m{i}.b2_{level}")
+            hg[f"b3_{level}"] = _fan_convblock(sd, f"m{i}.b3_{level}")
+        hg["b2_plus_1"] = _fan_convblock(sd, f"m{i}.b2_plus_1")
+        out[f"m{i}"] = hg
+        out[f"top_m_{i}"] = _fan_convblock(sd, f"top_m_{i}")
+        out[f"conv_last{i}"] = _conv(sd, f"conv_last{i}")
+        out[f"bn_end{i}"] = _bn(sd, f"bn_end{i}")
+        out[f"l{i}"] = _conv(sd, f"l{i}")
+        if i < num_modules - 1:
+            out[f"bl{i}"] = _conv(sd, f"bl{i}")
+            out[f"al{i}"] = _conv(sd, f"al{i}")
+    return out

@@ -222,37 +222,57 @@ def landmarks68_to_5(lm68: np.ndarray) -> np.ndarray:
 
 class GPENFullFrameEnhancer:
     """Full-frame restoration: detect -> align -> restore -> paste back
-    (reference swap_face_fine/gpen/gpen_demo.py:18-121, where detection is
-    RetinaFace; here the detector is the pipeline's pluggable `landmark_fn`
-    68-pt hook and alignment is the same 5-pt similarity warp).
+    (reference swap_face_fine/gpen/gpen_demo.py:18-121). Detection is the
+    in-framework RetinaFace (pipelines/detect.py) — the reference's own GPEN
+    detector (swap_face_fine/gpen/face_detect/retinaface_detection.py) — so
+    multi-face frames restore every face from the detector's 5-pt landmarks,
+    batched through one GPEN forward. A 68-pt `landmark_fn` hook is still
+    accepted and takes precedence (single-face).
 
     The paste-back follows the reference's soft mask: an all-ones crop warped
     with the inverse affine, scaled down at the border so the restored face
     blends into the frame.
     """
 
-    def __init__(self, enhancer: GPENEnhancer, landmark_fn,
-                 border_frac: float = 0.05):
+    def __init__(self, enhancer: GPENEnhancer, landmark_fn=None,
+                 border_frac: float = 0.05, detector=None):
         self.enhancer = enhancer
         self.landmark_fn = landmark_fn
         self.border_frac = border_frac
+        self._detector = detector  # RetinaFaceDetector (or FaceLandmarkDetector)
+
+    def _faces_lm5(self, frame: np.ndarray) -> np.ndarray:
+        """(F, 5, 2) five-point landmarks for every face in the frame."""
+        if self.landmark_fn is not None:
+            lm = self.landmark_fn(frame)
+            if lm is None:
+                return np.zeros((0, 5, 2), np.float32)
+            return landmarks68_to_5(lm)[None]
+        if self._detector is None:
+            from e4s2024_tpu.pipelines.detect import default_landmarker
+
+            self._detector = default_landmarker().detector
+        det = getattr(self._detector, "detector", self._detector)
+        _, _, lm5 = det.detect(frame)
+        return lm5
 
     def enhance_frame(self, frame255: np.ndarray) -> np.ndarray:
         """frame255: (H, W, 3) uint8/float full frame. Returns the frame with
-        the (single) detected face restored; unchanged if detection fails."""
+        every detected face restored; unchanged if detection finds none."""
         from e4s2024_tpu.pipelines.arcface_align import (
             estimate_norm, invert_affine, warp_affine, warp_affine_hw,
         )
 
-        lm = self.landmark_fn(np.asarray(frame255))
-        if lm is None:
-            return np.asarray(frame255)
-        lm5 = landmarks68_to_5(lm)
+        frame_np = np.asarray(frame255)
+        lm5s = self._faces_lm5(frame_np)
+        if lm5s.shape[0] == 0:
+            return frame_np
         s = self.enhancer.size
-        m = estimate_norm(lm5, s, mode="set1" if s != 512 else "ffhq")
-        frame = jnp.asarray(frame255, jnp.float32)
-        crop = warp_affine(frame, jnp.asarray(m), s)
-        restored = self.enhancer.enhance_aligned(crop[None])[0]
+        mode = "set1" if s != 512 else "ffhq"
+        frame = jnp.asarray(frame_np, jnp.float32)
+        ms = [estimate_norm(lm5, s, mode=mode) for lm5 in lm5s]
+        crops = jnp.stack([warp_affine(frame, jnp.asarray(m), s) for m in ms])
+        restored = self.enhancer.enhance_aligned(crops)  # one batched forward
 
         # soft paste mask: ones-crop warped back, feathered at the border
         b = max(1, int(s * self.border_frac))
@@ -260,9 +280,11 @@ class GPENFullFrameEnhancer:
                           np.arange(s, dtype=np.float32)[::-1])
         ramp = np.clip(ramp / b, 0.0, 1.0)
         mask_j = jnp.asarray((ramp[:, None] * ramp[None, :])[..., None])
-        inv_m = jnp.asarray(invert_affine(m))
         hw = (frame.shape[0], frame.shape[1])
-        pasted = warp_affine_hw(restored, inv_m, hw)
-        alpha = warp_affine_hw(mask_j, inv_m, hw)
-        out = pasted * alpha + frame * (1.0 - alpha)
+        out = frame
+        for i, m in enumerate(ms):
+            inv_m = jnp.asarray(invert_affine(m))
+            pasted = warp_affine_hw(restored[i], inv_m, hw)
+            alpha = warp_affine_hw(mask_j, inv_m, hw)
+            out = pasted * alpha + out * (1.0 - alpha)
         return np.clip(np.asarray(out), 0, 255).astype(np.uint8)

@@ -53,5 +53,20 @@ def max_pool2d(x: jnp.ndarray, window: int = 2, stride: int | None = None,
     )
 
 
+def avg_pool2d(x: jnp.ndarray, window: int = 2,
+               stride: int | None = None) -> jnp.ndarray:
+    """torch F.avg_pool2d(kernel, stride) for NHWC input (no padding)."""
+    stride = stride or window
+    s = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return s / (window * window)
+
+
 def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
     return jnp.mean(x, axis=(1, 2), keepdims=keepdims)

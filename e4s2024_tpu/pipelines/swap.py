@@ -396,23 +396,32 @@ class FaceSwapper:
 
     # ---------------- host-side orchestration ----------------
 
+    def ensure_landmark_fn(self):
+        """The active landmark callable; builds the in-framework RetinaFace +
+        FAN stack (pipelines/detect.py) on first use when none was supplied —
+        the pipeline runs standalone from raw frames, no external hooks."""
+        if self.landmark_fn is None:
+            from e4s2024_tpu.pipelines.detect import default_landmarker
+
+            self.landmark_fn = default_landmarker()
+        return self.landmark_fn
+
     def swap_aligned(self, driven255, target255):
         """Jitted aligned-crop swap. Inputs (B, S, S, 3) uint8 or float in
         [0, 255]; the swapped image comes back uint8."""
         return self._swap_jit(_as_u8(driven255), _as_u8(target255))
 
     def swap(self, source_img: np.ndarray, target_img: np.ndarray) -> np.ndarray:
-        """Full swap with alignment + paste-back; needs `landmark_fn`.
+        """Full swap with alignment + paste-back, standalone: uses the
+        supplied `landmark_fn` or the in-framework detector stack.
 
         source/target: (H, W, 3) uint8 frames. Returns the target frame with
         the swapped face pasted back (uint8)."""
-        if self.landmark_fn is None:
-            raise ValueError("swap() needs a landmark_fn; use swap_aligned() "
-                             "for pre-aligned crops")
+        landmark_fn = self.ensure_landmark_fn()
         s = self.cfg.out_size
         crops, quads = [], []
         for img in (source_img, target_img):
-            lm = self.landmark_fn(img)
+            lm = landmark_fn(img)
             c, x, y = compute_transform_from_landmarks(lm)
             quad = quad_from_cxy(c, x, y)
             crop = crop_quad(jnp.asarray(img, jnp.float32),

@@ -115,9 +115,10 @@ class FaceSwapVideoPipeline:
         """Crop every frame with temporally smoothed quads. Returns
         (crops (F,S,S,3) float32 [0,255], quads)."""
         s = self.swapper.cfg.out_size
+        landmark_fn = self.swapper.ensure_landmark_fn()
         cs, xs, ys = [], [], []
         for f in frames:
-            lm = self.swapper.landmark_fn(f)
+            lm = landmark_fn(f)
             c, x, y = compute_transform_from_landmarks(lm)
             cs.append(c); xs.append(x); ys.append(y)
         quads = smooth_video_quads(cs, xs, ys, self.cfg.center_sigma,
@@ -209,7 +210,7 @@ class FaceSwapVideoPipeline:
 
         # 1. align
         t_crops, t_quads = self.align_frames(frames)
-        lm = self.swapper.landmark_fn(source_img)
+        lm = self.swapper.ensure_landmark_fn()(source_img)
         c, x, y = compute_transform_from_landmarks(lm)
         from e4s2024_tpu.pipelines.alignment import quad_from_cxy
         s_quad = quad_from_cxy(c, x, y)
