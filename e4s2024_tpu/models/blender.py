@@ -98,15 +98,21 @@ class BlenderFPN(nn.Module):
 
     @nn.compact
     def __call__(self, img):
-        x = nn.Conv(64, (3, 3), padding=1, name="layer1")(img)
+        # 'spectralinstance' strips conv biases (reference
+        # normalization.py:43-47: bias is meaningless before instance norm)
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, name="layer1")(img)
         x = instance_norm(x)
-        x = nn.Conv(128, (3, 3), strides=2, padding=1, name="layer2")(_lrelu(x))
+        x = nn.Conv(128, (3, 3), strides=2, padding=1, use_bias=False,
+                    name="layer2")(_lrelu(x))
         x = instance_norm(x)
-        x = nn.Conv(256, (3, 3), padding=1, name="layer3")(_lrelu(x))
+        x = nn.Conv(256, (3, 3), padding=1, use_bias=False,
+                    name="layer3")(_lrelu(x))
         x = instance_norm(x)
-        x = nn.Conv(512, (3, 3), strides=2, padding=1, name="layer4")(_lrelu(x))
+        x = nn.Conv(512, (3, 3), strides=2, padding=1, use_bias=False,
+                    name="layer4")(_lrelu(x))
         x = instance_norm(x)
-        x = nn.Conv(512, (3, 3), padding=1, name="layer5")(_lrelu(x))
+        x = nn.Conv(512, (3, 3), padding=1, use_bias=False,
+                    name="layer5")(_lrelu(x))
         x = instance_norm(x)
         x = SPADEResnetBlock(512, name="head_0")(x, img)
         x = SPADEResnetBlock(512, name="G_middle_0")(x, img)
