@@ -76,13 +76,22 @@ def id_loss_crop(x: jnp.ndarray) -> jnp.ndarray:
 
 def multiscale_lpips(lpips_apply: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
                      y_hat: jnp.ndarray, y: jnp.ndarray,
-                     n_scales: int = 3) -> jnp.ndarray:
+                     n_scales: int = 3, min_size: int = 31) -> jnp.ndarray:
     """LPIPS summed over an adaptive-avg-pool pyramid (full, /2, /4), matching
-    reference training/coach.py:476-487."""
+    reference training/coach.py:476-487.
+
+    Scales below `min_size` are skipped: under 31 px the AlexNet conv/pool
+    stack produces a zero-sized spatial dim (pool2 needs a 3-px input that a
+    16-px image can't supply) and the spatial mean over the empty axis is
+    NaN — the torch reference errors outright on such inputs (it only ever
+    runs the pyramid at >=256 px), so skipping is a strict extension that
+    keeps tiny-config training finite."""
     total = 0.0
     size = y_hat.shape[1]
     for i in range(n_scales):
         s = size // (2**i)
+        if s < min_size:
+            break
         a = adaptive_avg_pool2d(y_hat, (s, s))
         b = adaptive_avg_pool2d(y, (s, s))
         total = total + lpips_apply(a, b)

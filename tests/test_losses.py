@@ -112,6 +112,26 @@ def test_lpips_basic(rng):
     assert diff > 0
 
 
+def test_multiscale_lpips_skips_sub_alexnet_scales(rng):
+    """Pyramid scales below AlexNet's 31-px minimum are skipped: at 16 px the
+    conv/pool stack yields a zero-sized spatial dim and a NaN spatial mean
+    (the torch reference errors on such inputs — it only runs >=256 px)."""
+    from e4s2024_tpu.losses import multiscale_lpips
+
+    net = LPIPS()
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, y)["params"]
+    apply = lambda a, b: net.apply({"params": params}, a, b)
+    # 64-px pyramid = scales (64, 32): the 16-px scale is dropped -> finite
+    total = float(multiscale_lpips(apply, x, y))
+    s64 = float(apply(x, y))
+    s32 = float(apply(adaptive_avg_pool2d(x, (32, 32)),
+                      adaptive_avg_pool2d(y, (32, 32))))
+    assert np.isfinite(total)
+    assert total == pytest.approx(s64 + s32, rel=1e-5)
+
+
 def test_adv_losses_match_torch(rng):
     rp = rng.standard_normal(8).astype(np.float32)
     fp = rng.standard_normal(8).astype(np.float32)
