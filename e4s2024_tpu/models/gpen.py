@@ -235,11 +235,19 @@ class GPENFullFrameEnhancer:
     """
 
     def __init__(self, enhancer: GPENEnhancer, landmark_fn=None,
-                 border_frac: float = 0.05, detector=None):
+                 border_frac: float = 0.05, detector=None, sr_upscaler=None):
         self.enhancer = enhancer
         self.landmark_fn = landmark_fn
         self.border_frac = border_frac
         self._detector = detector  # RetinaFaceDetector (or FaceLandmarkDetector)
+        # background super-resolution: the reference's use_sr flow
+        # (swap_face_fine/gpen/face_enhancement.py:63-67,105-108) RealESRNet-
+        # upscales the WHOLE frame first, detects on the upscaled frame, and
+        # pastes the restored faces onto it — faces restored by GPEN, the
+        # background by SR. Anything with .upscale((B,H,W,3)[0,255]) -> x4
+        # (RealESRGANUpscaler — RealESRNet is the same RRDB arch — or
+        # SwinIRUpscaler).
+        self.sr_upscaler = sr_upscaler
 
     def _faces_lm5(self, frame: np.ndarray) -> np.ndarray:
         """(F, 5, 2) five-point landmarks for every face in the frame."""
@@ -264,6 +272,12 @@ class GPENFullFrameEnhancer:
         )
 
         frame_np = np.asarray(frame255)
+        if self.sr_upscaler is not None:
+            # SR the whole frame, then detect + restore + paste on the
+            # upscaled frame (reference face_enhancement.py:63-67)
+            frame_np = np.asarray(self.sr_upscaler.upscale(
+                jnp.asarray(frame_np, jnp.float32)[None])[0]).astype(
+                    np.uint8)
         lm5s = self._faces_lm5(frame_np)
         if lm5s.shape[0] == 0:
             return frame_np

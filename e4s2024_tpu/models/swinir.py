@@ -204,3 +204,23 @@ class SwinIRUpscaler:
         out = self._fwd(x)
         out = out[:, : h * self.model.scale, : w * self.model.scale]
         return jnp.clip(out * 255.0, 0, 255)
+
+
+class SwinIREnhancer:
+    """Same-size face enhancement through x4 SR — the reference's "SwinIR"
+    face-enhancement mode (reference Face_swap_with_two_imgs.py:627-631:
+    `SwinIRInfer.infer` returns the x4 image, which the pipeline then resizes
+    to its working resolution). Runs the SR at the crop's native size and
+    bilinearly resizes the x4 output back, so it drops into the `enhancers`
+    dict of `FullFaceSwapPipeline` / the video pipeline's `enhancer` hook with
+    the same (B, S, S, 3) [0,255] -> same-shape contract as GPENEnhancer."""
+
+    def __init__(self, upscaler: "SwinIRUpscaler"):
+        self.upscaler = upscaler
+
+    def enhance_aligned(self, crops255: jnp.ndarray) -> jnp.ndarray:
+        from e4s2024_tpu.ops.resize import resize_bilinear
+
+        h, w = crops255.shape[1], crops255.shape[2]
+        out = self.upscaler.upscale(crops255)
+        return resize_bilinear(out, (h, w))

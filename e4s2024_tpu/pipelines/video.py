@@ -98,12 +98,19 @@ class FaceSwapVideoPipeline:
     def __init__(self, swapper: FaceSwapper, cfg: VideoSwapConfig = VideoSwapConfig(),
                  loss_params: dict | None = None, mesh=None,
                  driven_hook: Callable | None = None,
-                 recolorer=None):
+                 recolorer=None, enhancer=None):
         self.swapper = swapper
         self.cfg = cfg
         self.loss_params = loss_params or {}
         self.mesh = mesh
         self.driven_hook = driven_hook
+        # face enhancement of the driven frames (reference
+        # face_swap_video_pipeline.py:255-257 enhances every driven
+        # prediction; the two-image pipeline exposes gpen/codeformer/SwinIR/
+        # realesr modes at Face_swap_with_two_imgs.py:606-643). Anything with
+        # the (B,S,S,3) [0,255] -> same-shape enhance_aligned contract:
+        # GPENEnhancer, SwinIREnhancer, CodeFormerEnhancer, ...
+        self.enhancer = enhancer
         # BlenderRecolorer-like: .recolor(imgA255, imgT255, a19, t19) -> 256^2
         # recolor of A toward T's colors; used to build the per-frame PTI
         # recolor targets (reference face_swap_video_pipeline.py:287-300)
@@ -150,6 +157,19 @@ class FaceSwapVideoPipeline:
                                     self.swapper.cfg.num_seg_cls)
             out.append(np.asarray(self.swapper._invert_jit(img, onehot)))
         return np.concatenate(out)
+
+    # ------------- stage 2: driven-face enhancement -------------
+
+    def enhance_frames(self, driven255: np.ndarray) -> np.ndarray:
+        """Batched face enhancement of the driven frames (reference
+        face_swap_video_pipeline.py:316-323 loops per frame; here every
+        chunk is one device call)."""
+        b = self.cfg.frames_per_batch
+        outs = []
+        for i in range(0, len(driven255), b):
+            outs.append(np.asarray(self.enhancer.enhance_aligned(
+                jnp.asarray(driven255[i:i + b], jnp.float32))))
+        return np.concatenate(outs)
 
     # ------------- stage 2b: recolor targets -------------
 
@@ -222,6 +242,8 @@ class FaceSwapVideoPipeline:
             driven = self.driven_hook(s_crop, t_crops)
         else:
             driven = np.repeat(s_crop[None], len(t_crops), axis=0)
+        if self.enhancer is not None:
+            driven = self.enhance_frames(driven)
 
         # 2b. per-frame Blender recolor targets for PTI guidance (reference
         # face_swap_video_pipeline.py:287-300; falls back to the driven frame)

@@ -446,3 +446,31 @@ def test_gpen_fullframe_hookless_multiface(small_stack, rng):
     out = ff.enhance_frame(frame)
     assert out.shape == frame.shape and out.dtype == np.uint8
     assert np.isfinite(out).all()
+
+
+def test_gpen_fullframe_background_sr(small_stack, rng):
+    """With `sr_upscaler` set, the whole frame is super-resolved first and
+    faces are restored + pasted on the UPSCALED frame (reference use_sr flow,
+    swap_face_fine/gpen/face_enhancement.py:63-67,105-108)."""
+    from e4s2024_tpu.models.gpen import GPENEnhancer, GPENFullFrameEnhancer
+    from e4s2024_tpu.models.gpen import GPENFullGenerator
+    from e4s2024_tpu.ops.resize import resize_nearest
+
+    class FakeSR:
+        calls = 0
+
+        def upscale(self, img255):
+            FakeSR.calls += 1
+            b, h, w, _ = img255.shape
+            return resize_nearest(jnp.asarray(img255, jnp.float32),
+                                  (4 * h, 4 * w))
+
+    model = GPENFullGenerator(size=64, narrow=0.25)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
+    enh = GPENEnhancer(params["params"], size=64, model=model)
+    ff = GPENFullFrameEnhancer(enh, detector=small_stack, sr_upscaler=FakeSR())
+    frame = (rng.random((100, 100, 3)) * 255).astype(np.uint8)
+    out = ff.enhance_frame(frame)
+    assert FakeSR.calls == 1
+    assert out.shape == (400, 400, 3) and out.dtype == np.uint8
+    assert np.isfinite(out).all()

@@ -48,3 +48,16 @@ def test_upscaler_pads_to_window(tiny_swinir, rng):
     out = up.upscale((rng.random((1, 13, 11, 3)) * 255).astype(np.float32))
     assert out.shape == (1, 52, 44, 3)
     assert float(out.min()) >= 0 and float(out.max()) <= 255
+
+
+def test_enhancer_same_size_contract(tiny_swinir, rng):
+    """SwinIREnhancer: (B,S,S,3) [0,255] -> same shape — the enhancers-dict
+    contract (reference "SwinIR" mode, Face_swap_with_two_imgs.py:627-631)."""
+    from e4s2024_tpu.models.swinir import SwinIREnhancer
+
+    model, params = tiny_swinir
+    enh = SwinIREnhancer(SwinIRUpscaler(params, model=model))
+    x = (rng.random((2, 24, 24, 3)) * 255).astype(np.float32)
+    out = np.asarray(enh.enhance_aligned(x))
+    assert out.shape == x.shape
+    assert out.min() >= 0 and out.max() <= 255 and np.isfinite(out).all()

@@ -62,6 +62,35 @@ def test_video_pipeline_end_to_end(rng):
         assert o.shape == (96, 96, 3) and o.dtype == np.uint8
 
 
+def test_video_enhancer_stage(rng):
+    """The driven-frame enhancement stage runs batched through anything with
+    the enhance_aligned contract (SwinIREnhancer/GPENEnhancer/...) —
+    reference face_swap_video_pipeline.py:255-257."""
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3)
+    net = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg, landmark_fn=fake_landmarks)
+
+    class FakeEnhancer:
+        batches = []
+
+        def enhance_aligned(self, crops255):
+            FakeEnhancer.batches.append(crops255.shape[0])
+            return jnp.clip(crops255 + 1.0, 0, 255)
+
+    vcfg = VideoSwapConfig(swap=cfg, frames_per_batch=2)
+    pipe = FaceSwapVideoPipeline(swapper, vcfg, enhancer=FakeEnhancer())
+    driven = (rng.random((5, 64, 64, 3)) * 255).astype(np.float32)
+    out = pipe.enhance_frames(driven)
+    assert out.shape == driven.shape
+    assert FakeEnhancer.batches == [2, 2, 1]
+    np.testing.assert_allclose(out, np.clip(driven + 1.0, 0, 255), atol=1e-4)
+
+
 def test_config_tree_roundtrip():
     cfg = E4SConfig.from_args(["--batch_size", "4", "--d_every", "10"])
     assert cfg.train.batch_size == 4
