@@ -85,6 +85,19 @@ class PTIConfig:
     # layers carry a frames x 12-region batch; measured: 5 frames/chunk
     # peaks at 17.2G and OOMs)
     frames_per_chunk: int | None = 2
+    # Stochastic frame mini-batches: each optimizer step uses a random
+    # mini-batch of `frames_per_step` frames instead of the whole clip's
+    # frame-mean gradient. Parity-faithful — the reference also never sees
+    # the full clip per update (it steps per-FRAME serially,
+    # video_swap_ft_coach.py:242-317); this is the standard SGD formulation
+    # of the same objective and cuts per-step cost by F/frames_per_step.
+    # None = full-clip frame-mean (the round-2 behavior). Single-device only
+    # (on a mesh the frame axis is already sharded).
+    frames_per_step: int | None = None
+    # "bfloat16" runs synthesis + losses in bf16 (params/optimizer stay
+    # f32): halves HBM traffic and doubles MXU rate on TPU
+    compute_dtype: str = "float32"
+    sample_seed: int = 0
 
 
 class PTICoach:
@@ -135,6 +148,16 @@ class PTICoach:
     def _chunk_loss(self, params, buffers, frames, onehot, style_vectors,
                     recolor):
         cfg = self.cfg
+        if cfg.compute_dtype != "float32":
+            # mixed precision: f32 master params, bf16 synthesis + losses;
+            # grad of the cast is the cast back, so grads stay f32 for Adam
+            dt = jnp.dtype(cfg.compute_dtype)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(dt)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+            params, buffers = cast(params), cast(buffers)
+            frames, onehot, style_vectors, recolor = (
+                cast(frames), cast(onehot), cast(style_vectors), cast(recolor))
         recon = self._synth(params, buffers, style_vectors, onehot)
         loss, metrics = self.criterion(recon, frames)
         fg = jnp.max(onehot[..., [1, 2, 3, 5, 6, 7, 8, 9, 10]], axis=-1)
@@ -143,13 +166,33 @@ class PTICoach:
         loss = loss + cfg.recolor_lambda * rloss
         metrics["loss_recolor"] = rloss
         metrics["loss"] = loss
+        # f32 loss/metrics regardless of compute dtype (bf16 accumulators
+        # lose ~3 decimal digits over a scan)
+        loss = loss.astype(jnp.float32)
+        metrics = jax.tree_util.tree_map(
+            lambda m: m.astype(jnp.float32), metrics)
         return loss, metrics
 
-    def _train_step(self, carry, buffers, frames, onehot, style_vectors, recolor):
+    def _train_step(self, carry, buffers, frames, onehot, style_vectors,
+                    recolor, idx=None):
         """One optimizer step on the frame-MEAN gradient. Inputs either
         (F, ...) — single pass — or chunked (n, cs, ...) — lax.scan gradient
-        accumulation, identical objective (chunks are equal-sized)."""
+        accumulation, identical objective (chunks are equal-sized). With
+        `idx` (stochastic mini-batch mode) the full clip stays resident and
+        the step gathers its mini-batch on device, then chunks it."""
         params, opt = carry
+        if idx is not None:
+            frames, onehot, style_vectors, recolor = (
+                jnp.take(x, idx, axis=0)
+                for x in (frames, onehot, style_vectors, recolor))
+            m = idx.shape[0]
+            cpc = self.cfg.frames_per_chunk
+            if cpc and m > cpc:
+                cs = max(d for d in range(1, cpc + 1) if m % d == 0)
+                if cs < m:
+                    frames, onehot, style_vectors, recolor = (
+                        x.reshape((m // cs, cs) + x.shape[1:])
+                        for x in (frames, onehot, style_vectors, recolor))
         grad_fn = jax.value_and_grad(self._chunk_loss, has_aux=True,
                                      argnums=0)
 
@@ -205,10 +248,33 @@ class PTICoach:
         recolor = jnp.asarray(recolor)
         style_vectors = jnp.asarray(style_vectors)
 
+        f = frames.shape[0]
+        n_steps = steps if steps is not None else cfg.max_pti_steps
+        carry = (params, self.tx.init(params))
+        history = []
+
+        if (self.mesh is None and cfg.frames_per_step
+                and f > cfg.frames_per_step):
+            # stochastic mini-batch mode: epoch-style coverage — a shuffled
+            # permutation is consumed frames_per_step at a time, reshuffled
+            # when exhausted, so every frame is visited before any repeats
+            m = cfg.frames_per_step
+            prng = np.random.default_rng(cfg.sample_seed)
+            perm, pos = prng.permutation(f), 0
+            for _ in range(n_steps):
+                if pos + m > f:
+                    perm, pos = prng.permutation(f), 0
+                idx = jnp.asarray(perm[pos:pos + m])
+                pos += m
+                carry, metrics = self._step(carry, buffers, frames, onehot,
+                                            style_vectors, recolor, idx)
+                history.append({k: float(v) for k, v in metrics.items()})
+            params, _ = carry
+            return {"params": params, "buffers": buffers}, history
+
         # frame-chunked gradient accumulation (single-device; on a mesh the
         # frame axis shards across devices instead): largest divisor of F
         # <= frames_per_chunk keeps the frame-mean objective exact
-        f = frames.shape[0]
         if (self.mesh is None and cfg.frames_per_chunk
                 and f > cfg.frames_per_chunk):
             cs = max(d for d in range(1, cfg.frames_per_chunk + 1)
@@ -218,9 +284,7 @@ class PTICoach:
                 x.reshape((n, cs) + x.shape[1:])
                 for x in (frames, onehot, style_vectors, recolor))
 
-        carry = (params, self.tx.init(params))
-        history = []
-        for _ in range(steps if steps is not None else cfg.max_pti_steps):
+        for _ in range(n_steps):
             carry, metrics = self._step(carry, buffers, frames, onehot,
                                         style_vectors, recolor)
             history.append({k: float(v) for k, v in metrics.items()})

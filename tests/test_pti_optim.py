@@ -166,3 +166,57 @@ def test_pti_chunked_matches_whole_clip(tiny, rng):
         n_bad += (~close).sum()
         total += close.size
     assert n_bad / total < 1e-4, f"{n_bad}/{total} weights diverged"
+
+
+def test_pti_stochastic_minibatch_matches_full(tiny, rng):
+    """Stochastic frame mini-batches (the fast tuning mode) must reach a
+    comparable recon loss to the exact full-clip frame-mean tune — the
+    quality gate for the benchmark's fast-PTI configuration."""
+    net, v = tiny
+    f = 8
+    frames = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32) * 0.1
+    common = dict(lpips_lambda=0.0, id_lambda=0.0, face_parsing_lambda=0.0,
+                  recolor_lambda=1.0, learning_rate=1e-3)
+
+    full = PTICoach(net, {}, PTIConfig(max_pti_steps=8, **common))
+    tuned_f, hist_f = full.tune(v, frames, labels, sv, frames)
+
+    sto = PTICoach(net, {}, PTIConfig(max_pti_steps=8, frames_per_step=2,
+                                      sample_seed=3, **common))
+    tuned_s, hist_s = sto.tune(v, frames, labels, sv, frames)
+    assert len(hist_s) == 8
+
+    # evaluate BOTH tuned nets on the same full-clip objective
+    def full_loss(variables):
+        c = PTICoach(net, {}, PTIConfig(**common))
+        (_, m) = c._chunk_loss(variables["params"], variables["buffers"],
+                               jnp.asarray(frames),
+                               jax.nn.one_hot(jnp.asarray(labels), 12),
+                               jnp.asarray(sv), jnp.asarray(frames))
+        return float(m["loss"])
+
+    l0 = full_loss(v)
+    lf = full_loss(tuned_f)
+    ls = full_loss(tuned_s)
+    assert lf < l0 and ls < l0            # both tunes improve
+    assert ls <= l0 - 0.5 * (l0 - lf)     # stochastic gets >=50% of the gain
+
+
+def test_pti_bf16_compute(tiny, rng):
+    """bf16 tuning runs, improves the loss, and keeps f32 master params."""
+    net, v = tiny
+    f = 4
+    frames = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32) * 0.1
+    cfg = PTIConfig(max_pti_steps=5, frames_per_step=2,
+                    compute_dtype="bfloat16", lpips_lambda=0.0,
+                    id_lambda=0.0, face_parsing_lambda=0.0,
+                    recolor_lambda=1.0, learning_rate=1e-3)
+    coach = PTICoach(net, {}, cfg)
+    tuned, hist = coach.tune(v, frames, labels, sv, frames)
+    assert min(h["loss"] for h in hist) < hist[0]["loss"]
+    leaf = tuned["params"]["generator"]["conv1"]["conv"]["weight"]
+    assert leaf.dtype == jnp.float32
