@@ -143,41 +143,66 @@ class FullFaceSwapPipeline:
     # ---------------- full pipeline ----------------
 
     def __call__(self, source_crop255: np.ndarray, target_crop255: np.ndarray,
-                 verbose: bool = False) -> dict:
+                 verbose: bool = False, timer=None) -> dict:
         """Swap on pre-aligned crops (use FaceSwapper.swap for full frames).
 
-        Returns dict with the final image and intermediates."""
+        Returns dict with the final image and intermediates. With `timer` (a
+        `utils.observability.StageTimer`) or `verbose`, each stage is timed
+        with a device sync and the result carries `stage_times` — device
+        syncs per stage cost throughput, so only profile runs should pass
+        one."""
         from e4s2024_tpu.pipelines.swap import _as_u8
+
+        if timer is None and verbose:
+            from e4s2024_tpu.utils.observability import StageTimer
+            timer = StageTimer()
+
+        def timed(name, fn, *a):
+            if timer is None:
+                return fn(*a)
+            with timer.stage(name):
+                out = fn(*a)
+                jax.block_until_ready(out)
+            return out
 
         # host inputs cross the transport as uint8 (4x fewer bytes than the
         # float equivalent — a 1024^2 f32 upload costs ~300 ms on a tunnel);
         # all float casting happens on device
         src_dev = _as_u8(source_crop255)
         target_dev = _as_u8(target_crop255)
-        driven = self._pose_align(src_dev, target_dev)
-        driven = self._enhance(driven, "gpen" if "gpen" in self.comp.enhancers
-                               else None)
+        driven = timed("pose_align", self._pose_align, src_dev, target_dev)
+        driven = timed("enhance", self._enhance, driven,
+                       "gpen" if "gpen" in self.comp.enhancers else None)
 
         if self.cfg.optimize_w_steps > 0:
-            result = self._swap_with_optimized_w(driven, target_dev)
+            result = timed("optimize_w_swap", self._swap_with_optimized_w,
+                           driven, target_dev)
         else:
-            result = self.swapper.swap_aligned(
-                jnp.asarray(driven, jnp.float32)[None],
-                target_dev.astype(jnp.float32)[None])
+            result = timed(
+                "core_swap", lambda: self.swapper.swap_aligned(
+                    jnp.asarray(driven, jnp.float32)[None],
+                    target_dev.astype(jnp.float32)[None]))
         swapped = result["image"][0].astype(jnp.float32)  # device
 
         # 19-class labels for the recolorer
         if self.cfg.ct_mode == "blender" and self.comp.recolorer is not None:
-            d19 = self.swapper._parse19(
-                jnp.asarray(driven, jnp.float32)[None] / 255.0)[0]
-            t19 = self.swapper._parse19(
-                target_dev.astype(jnp.float32)[None] / 255.0)[0]
-            swapped = self._recolor(swapped, target_dev, d19, t19)
+            d19, t19 = timed("parse19", lambda: (
+                self.swapper._parse19(
+                    jnp.asarray(driven, jnp.float32)[None] / 255.0)[0],
+                self.swapper._parse19(
+                    target_dev.astype(jnp.float32)[None] / 255.0)[0]))
+            swapped = timed("recolor", self._recolor, swapped, target_dev,
+                            d19, t19)
         elif self.cfg.ct_mode not in ("none", "blender"):
-            swapped = self._recolor(swapped, target_dev, None, None)
+            swapped = timed("recolor", self._recolor, swapped, target_dev,
+                            None, None)
 
-        swapped = self._inpaint(swapped, result["hole_mask"][0])
-        return self._package(swapped, driven, result)
+        swapped = timed("inpaint", self._inpaint, swapped,
+                        result["hole_mask"][0])
+        out = timed("package", self._package, swapped, driven, result)
+        if timer is not None:
+            out["stage_times"] = dict(timer.times)
+        return out
 
     def _swap_with_optimized_w(self, driven255, target255):
         """Swap with per-image W-space refinement (reference :483-507)."""

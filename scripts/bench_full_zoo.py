@@ -100,6 +100,14 @@ def main():
         best = min(best, (time.perf_counter() - t0) / args.iters)
     assert out["image"].shape == (size, size, 3)
 
+    # per-stage breakdown (separate pass: the per-stage device syncs
+    # serialize work the un-timed path overlaps, so its total is an upper
+    # bound on the real swap time)
+    prof = pipe(src, tgt, verbose=True)
+    stage_ms = {k: round(v * 1e3, 1)
+                for k, v in sorted(prof["stage_times"].items(),
+                                   key=lambda kv: -kv[1])}
+
     rec = {
         "metric": "1024px_full_zoo_swaps_per_sec",
         "value": round(1.0 / best, 3),
@@ -107,6 +115,7 @@ def main():
                 "Blender 256 recolor + RealESR x4, GCFSR inpaint)",
         "vs_baseline": None,
         "detail": {"seconds_per_swap": round(best, 3), "size": size,
+                   "stage_ms_synced": stage_ms,
                    "note": "BASELINE.md measurement config 3; the reference "
                            "publishes no number for this path"},
     }
