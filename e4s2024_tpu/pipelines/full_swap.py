@@ -67,6 +67,8 @@ class FullFaceSwapPipeline:
         self.swapper = swapper
         self.comp = components
         self.cfg = cfg
+        self._fused_call = None
+        self._fused_checked = False
 
     # ---------------- stages ----------------
 
@@ -98,6 +100,19 @@ class FullFaceSwapPipeline:
             return img255
         return fn(jnp.asarray(img255, jnp.float32)[None])[0]
 
+    def _recolor_composite(self, rec, swapped255):
+        """Edge-aware composite of the 256^2 recolor onto the full-res swap
+        (reference :910-924). Traceable — shared by the staged and fused
+        paths."""
+        h = swapped255.shape[0]
+        rec = resize_bilinear(rec, (h, h))
+        # edge-aware blend: keep original high-frequency edges
+        edge = sobel_edge(jnp.asarray(swapped255[None], jnp.float32))
+        edge = jnp.clip(edge / 255.0, 0.0, 1.0)
+        out = blend_with_mask(rec[0], jnp.asarray(swapped255, jnp.float32),
+                              edge[0], up_ratio=self.cfg.blend_up_ratio)
+        return jnp.clip(out, 0, 255)
+
     def _recolor(self, swapped255, target255, d_label19, t_label19):
         """Stage 8: Blender 256 recolor + x4 upscale + edge-aware blend
         (reference :522-560, :910-924) or classical color transfer."""
@@ -111,14 +126,7 @@ class FullFaceSwapPipeline:
                 jnp.asarray(d_label19[None]), jnp.asarray(t_label19[None]))
             if self.comp.upscaler is not None and rec.shape[1] * 4 <= swapped255.shape[0]:
                 rec = self.comp.upscaler.upscale(rec)
-            h = swapped255.shape[0]
-            rec = resize_bilinear(rec, (h, h))
-            # edge-aware blend: keep original high-frequency edges
-            edge = sobel_edge(jnp.asarray(swapped255[None], jnp.float32))
-            edge = jnp.clip(edge / 255.0, 0.0, 1.0)
-            out = blend_with_mask(rec[0], jnp.asarray(swapped255, jnp.float32),
-                                  edge[0], up_ratio=cfg.blend_up_ratio)
-            return jnp.clip(out, 0, 255)
+            return self._recolor_composite(rec, swapped255)
         # classical modes (host-side for idt/hist/mix)
         from e4s2024_tpu.ops.color import skin_color_transfer
 
@@ -127,35 +135,134 @@ class FullFaceSwapPipeline:
                                   cfg.ct_mode)
         return (np.asarray(out) * 255.0).astype(np.float32)
 
+    def _inpaint_composite(self, img255, out0, hole_mask):
+        """Soft-eroded composite of the inpainted face into the hole
+        (reference :223-258). Traceable — shared by staged and fused paths."""
+        mask = jnp.asarray(hole_mask, jnp.float32)[None, ..., None]
+        mask = resize_bilinear(mask, img255.shape[:2])
+        soft, _ = soft_erosion(mask)
+        blended = blend_with_mask(jnp.asarray(img255, jnp.float32), out0,
+                                  soft[0], 1.0)
+        return jnp.clip(blended, 0, 255)
+
     def _inpaint(self, img255: np.ndarray, hole_mask: np.ndarray):
         """Stage 9b: GCFSR hole inpainting + soft blend (reference :223-258)."""
         if not self.cfg.face_inpainting or self.comp.inpainter is None:
             return img255
         out = self.comp.inpainter.inpaint(
             jnp.asarray(img255[None], jnp.float32), jnp.asarray(hole_mask[None]))
-        mask = jnp.asarray(hole_mask, jnp.float32)[None, ..., None]
-        mask = resize_bilinear(mask, img255.shape[:2])
-        soft, _ = soft_erosion(mask)
-        blended = blend_with_mask(jnp.asarray(img255, jnp.float32), out[0],
-                                  soft[0], 1.0)
-        return jnp.clip(blended, 0, 255)
+        return self._inpaint_composite(img255, out[0], hole_mask)
+
+    # ---------------- fused one-program path ----------------
+
+    def _maybe_build_fused(self):
+        """ONE XLA program for the whole device-side zoo path: enhance ->
+        swap -> parse19 -> Blender recolor + x4 + edge blend -> inpaint ->
+        uint8. On tunneled device transports every dispatch has a
+        milliseconds-scale floor, so the staged path's ~10 program calls per
+        swap cost more than the chip compute itself (measured: the RRDB x4
+        256->1024 is 1.1 ms of chip time inside a 131 ms staged recolor
+        stage). Component params enter as packed per-dtype buffers
+        (utils/packing.py) so weight updates flow through without retraces.
+
+        Built lazily; returns the fused callable or None when the config
+        needs host-side logic (pose gating, optimize_W, classical ct modes)
+        or a component doesn't expose its packed form."""
+        if self._fused_checked:
+            return self._fused_call
+        self._fused_checked = True
+        sw, comp, cfg = self.swapper, self.comp, self.cfg
+        if (cfg.optimize_w_steps > 0 or comp.pose_driver is not None
+                or cfg.ct_mode not in ("none", "blender")):
+            return None
+        # same mode-resolution as the staged path (__call__ -> _enhance)
+        mode = "gpen" if "gpen" in comp.enhancers else cfg.enhancement_mode
+        enh_fn = comp.enhancers.get(mode)
+        enh = getattr(enh_fn, "__self__", None) if enh_fn is not None else None
+        if enh_fn is not None and not hasattr(enh, "_fwd"):
+            return None
+        use_recolor = cfg.ct_mode == "blender" and comp.recolorer is not None
+        rec = comp.recolorer if use_recolor else None
+        up = comp.upscaler if use_recolor else None
+        inp = comp.inpainter if cfg.face_inpainting else None
+        for obj in (rec, up, inp):
+            if obj is not None and not (hasattr(obj, "_fwd")
+                                        and hasattr(obj, "_packed")):
+                return None
+
+        meta = sw._pack_meta
+
+        def fused(sw_packed, enh_packed, rec_packed, up_packed, inp_packed,
+                  src_u8, tgt_u8):
+            from e4s2024_tpu.utils.packing import unpack_pytree
+
+            tree = unpack_pytree(sw_packed, meta)
+            rgi_vars, bise = tree["rgi"], tree["bise"]
+            driven = src_u8.astype(jnp.float32)
+            if enh is not None:
+                driven = enh._fwd(enh_packed, driven[None])[0]
+            tgt_f = tgt_u8.astype(jnp.float32)
+            result = sw._swap_aligned_p(rgi_vars, bise, driven[None],
+                                        tgt_f[None])
+            swapped = result["image"][0].astype(jnp.float32)
+            if rec is not None:
+                d19 = sw._parse19_p(bise, driven[None] / 255.0)
+                t19 = sw._parse19_p(bise, tgt_f[None] / 255.0)
+                rec_out = rec._fwd(rec_packed, swapped[None], tgt_f[None],
+                                   d19, t19)
+                if up is not None and rec_out.shape[1] * 4 <= swapped.shape[0]:
+                    rec_out = jnp.clip(up._fwd(up_packed, rec_out) * 255.0,
+                                       0, 255)
+                swapped = self._recolor_composite(rec_out, swapped)
+            if inp is not None:
+                out = inp._fwd(inp_packed, swapped[None],
+                               result["hole_mask"][0][None])
+                swapped = self._inpaint_composite(swapped, out[0],
+                                                  result["hole_mask"][0])
+            return jnp.clip(swapped, 0, 255).astype(jnp.uint8)
+
+        fused_jit = jax.jit(fused)
+
+        def call(src_u8, tgt_u8):
+            return fused_jit(
+                sw._packed,
+                enh._packed if enh is not None else None,
+                rec._packed if rec is not None else None,
+                up._packed if up is not None else None,
+                inp._packed if inp is not None else None,
+                src_u8, tgt_u8)
+
+        self._fused_call = call
+        return call
 
     # ---------------- full pipeline ----------------
 
     def __call__(self, source_crop255: np.ndarray, target_crop255: np.ndarray,
-                 verbose: bool = False, timer=None) -> dict:
+                 verbose: bool = False, timer=None,
+                 return_intermediates: bool = False) -> dict:
         """Swap on pre-aligned crops (use FaceSwapper.swap for full frames).
 
-        Returns dict with the final image and intermediates. With `timer` (a
-        `utils.observability.StageTimer`) or `verbose`, each stage is timed
-        with a device sync and the result carries `stage_times` — device
-        syncs per stage cost throughput, so only profile runs should pass
-        one."""
+        Returns dict with the final image; `return_intermediates=True` adds
+        the driven face and the swap masks. Intermediates are opt-in because
+        every returned array is a device->host fetch — on a tunneled
+        transport they cost more than the whole swap's compute (~300 ms for
+        the extra 1024^2 planes vs ~350 ms of chip time).
+
+        With `timer` (a `utils.observability.StageTimer`) or `verbose`, each
+        stage is timed with a device sync and the result carries
+        `stage_times` — device syncs per stage cost throughput, so only
+        profile runs should pass one."""
         from e4s2024_tpu.pipelines.swap import _as_u8
 
         if timer is None and verbose:
             from e4s2024_tpu.utils.observability import StageTimer
             timer = StageTimer()
+
+        if timer is None and not return_intermediates:
+            fused = self._maybe_build_fused()
+            if fused is not None:
+                img = fused(_as_u8(source_crop255), _as_u8(target_crop255))
+                return {"image": np.asarray(img)}
 
         def timed(name, fn, *a):
             if timer is None:
@@ -199,7 +306,8 @@ class FullFaceSwapPipeline:
 
         swapped = timed("inpaint", self._inpaint, swapped,
                         result["hole_mask"][0])
-        out = timed("package", self._package, swapped, driven, result)
+        out = timed("package", self._package, swapped, driven, result,
+                    return_intermediates)
         if timer is not None:
             out["stage_times"] = dict(timer.times)
         return out
@@ -228,16 +336,19 @@ class FullFaceSwapPipeline:
         t255 = jnp.asarray(target255[None], jnp.float32)
         return sw._merge_jit(masks[0:1], masks[1:2], svs[0], svs[1], t255)
 
-    def _package(self, swapped, driven, result):
+    def _package(self, swapped, driven, result, intermediates: bool = False):
         # the ONE host conversion point — everything quantized to uint8 ON
         # DEVICE first (a 1024^2 float fetch costs ~300 ms on a tunneled
-        # transport; uint8 is 4x fewer bytes)
+        # transport; uint8 is 4x fewer bytes); intermediates only fetched
+        # on request
         img_u8 = jnp.clip(jnp.asarray(swapped), 0, 255).astype(jnp.uint8)
-        drv_u8 = jnp.clip(jnp.asarray(driven), 0, 255).astype(jnp.uint8)
-        return {
-            "image": np.asarray(img_u8),
-            "driven": np.asarray(drv_u8),
-            "swapped_mask": np.asarray(
-                result["swapped_mask"][0].astype(jnp.uint8)),
-            "hole_mask": np.asarray(result["hole_mask"][0]),
-        }
+        out = {"image": np.asarray(img_u8)}
+        if intermediates:
+            drv_u8 = jnp.clip(jnp.asarray(driven), 0, 255).astype(jnp.uint8)
+            out.update({
+                "driven": np.asarray(drv_u8),
+                "swapped_mask": np.asarray(
+                    result["swapped_mask"][0].astype(jnp.uint8)),
+                "hole_mask": np.asarray(result["hole_mask"][0]),
+            })
+        return out

@@ -44,10 +44,68 @@ def test_full_pipeline_with_zoo(rng):
         FullSwapConfig(ct_mode="rct", face_inpainting=True))
     src = (rng.random((64, 64, 3)) * 255).astype(np.float32)
     tgt = (rng.random((64, 64, 3)) * 255).astype(np.float32)
-    out = pipe(src, tgt)
+    out = pipe(src, tgt, return_intermediates=True)
     assert out["image"].shape == (64, 64, 3)
     assert out["image"].dtype == np.uint8
     assert out["driven"].shape == (64, 64, 3)
+    # intermediates are opt-in: the default fetch is the final image only
+    lean = pipe(src, tgt)
+    assert set(lean) == {"image"}
+
+
+@pytest.mark.slow
+def test_fused_path_matches_staged(rng):
+    """The one-program fused path (default when no host-side logic is
+    configured) computes the same image as the staged multi-dispatch path."""
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg)
+    swapper.rgi = rgi
+    gpen = GPENFullGenerator(size=64, narrow=0.25)
+    gpen_params = gpen.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 64, 64, 3)))["params"]
+    inp_model = FaceInpainting(out_size=64, narrow=0.25)
+    inp_params = inp_model.init(jax.random.PRNGKey(3),
+                                jnp.zeros((1, 64, 64, 4)),
+                                jnp.zeros((1, 1)))["params"]
+    comps = SwapComponents(
+        enhancers={"gpen": GPENEnhancer(gpen_params, 64, gpen).enhance_aligned},
+        inpainter=FaceInpainter(inp_params, model=inp_model),
+    )
+    pipe = FullFaceSwapPipeline(
+        swapper, comps, FullSwapConfig(ct_mode="none", face_inpainting=True))
+    src = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    tgt = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+
+    fused = pipe(src, tgt)
+    assert pipe._fused_call is not None  # fused path actually engaged
+    staged = pipe(src, tgt, return_intermediates=True)
+    # the one-program trace fuses the parse differently than the staged
+    # 2-program path, so argmax label flips at segmentation-class boundaries
+    # are expected (the regional painter then amplifies a flipped pixel to a
+    # different style color) — check distribution-level agreement, not
+    # bit-exactness
+    diff = np.abs(fused["image"].astype(np.int32)
+                  - staged["image"].astype(np.int32))
+    assert diff.mean() < 2.0
+    # random weights on noise inputs leave the parse logits near-tied at
+    # most pixels, so a few % of label flips (locally large pixel diffs) is
+    # the expected ceiling; trained weights produce confident classes and
+    # far fewer flips
+    assert (diff > 8).mean() < 0.05
+
+    # host-side ct modes can't fuse -> staged fallback, same API
+    pipe_rct = FullFaceSwapPipeline(swapper, comps,
+                                    FullSwapConfig(ct_mode="rct"))
+    assert pipe_rct._maybe_build_fused() is None
+    out = pipe_rct(src, tgt)
+    assert out["image"].shape == (64, 64, 3)
 
 
 def test_pipeline_no_components(rng):
