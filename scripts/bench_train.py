@@ -1,0 +1,132 @@
+"""Training-step throughput on the real chip.
+
+The reference trains on 8xA100 with bs 2/GPU at 1024^2 (BASELINE.md: 200k
+steps configured, no wall-time published — options/train_options.py:25-43).
+This measures the per-chip cost of the same step on TPU: the jitted G step
+(full perceptual criterion: LPIPS + ArcFace ID + parsing + L2 + adv) and the
+jitted D step, at the reference cadence (D every `d_every` G steps,
+train_options.py / coach.py:341-358).
+
+Random weights are valid for throughput for the same reason as bench.py: the
+train step is a static XLA program whose op graph and FLOPs are fixed at
+trace time.
+
+Writes BENCH_TRAIN.json and prints one JSON line.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_train.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--mode", default="fast",
+                    help="regional mode: fast (TPU-recommended) | exact")
+    ap.add_argument("--remat", action="store_true", default=None)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--no-perceptual", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/e4s_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from e4s2024_tpu.training.coach import Coach, TrainConfig
+
+    size, bs = args.size, args.batch
+    # remat trades one extra G forward for not holding the 1024^2 activation
+    # set through the perceptual backward (needed to fit 16G HBM at 1024^2)
+    remat = args.remat if args.remat is not None else size >= 1024
+
+    cfg = TrainConfig(out_size=size, batch_size=bs, regional_mode=args.mode,
+                      remat=remat)
+
+    loss_params = {}
+    if not args.no_perceptual:
+        from e4s2024_tpu.models.arcface import ArcFaceBackbone
+        from e4s2024_tpu.models.lpips import LPIPS
+        from e4s2024_tpu.models.parser_unet import ParsingUNet
+
+        k = jax.random.PRNGKey
+        loss_params["lpips"] = jax.jit(LPIPS().init)(
+            k(10), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 3))
+        )["params"]
+        loss_params["arcface"] = jax.jit(ArcFaceBackbone().init)(
+            k(11), jnp.zeros((1, 112, 112, 3)))["params"]
+        loss_params["parser"] = jax.jit(ParsingUNet().init)(
+            k(12), jnp.zeros((1, 512, 512, 3)))["params"]
+
+    coach = Coach(cfg, loss_params=loss_params)
+    state = coach.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((bs, size, size, 3)), jnp.float32)
+    onehot = jnp.asarray(np.eye(12, dtype=np.float32)[
+        rng.integers(0, 12, (bs, size, size))])
+
+    # warmup / compile with retries (remote-compile endpoint can drop)
+    for attempt in range(4):
+        try:
+            state, g_logs = coach._g_step(state, img, onehot)
+            state, d_logs = coach._d_step(state, img, onehot, False)
+            float(np.asarray(g_logs["loss"]))
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(10)
+
+    def timed(step_fn, *extra, iters=args.iters):
+        nonlocal state
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, logs = step_fn(state, img, onehot, *extra)
+            # sync by fetching one scalar (tunnel: block_until_ready is a
+            # no-op; fetching whole outputs would time the 40 MB/s link)
+            float(np.asarray(logs["loss"]))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    g_s = timed(coach._g_step)
+    d_s = timed(coach._d_step, False)
+    # reference cadence: one D step every d_every G steps (coach.py:341-358)
+    eff = g_s + d_s / cfg.d_every
+    rec = {
+        "metric": "train_step_per_sec_per_chip",
+        "value": round(1.0 / eff, 3),
+        "unit": f"G steps/s at {size}^2 bs{bs} incl. amortized D "
+                f"(LPIPS+ID+parsing+L2+adv criterion, {args.mode} regional "
+                f"mode{', remat' if remat else ''})",
+        "vs_baseline": None,
+        "detail": {
+            "g_step_ms": round(g_s * 1e3, 1),
+            "d_step_ms": round(d_s * 1e3, 1),
+            "d_every": cfg.d_every,
+            "imgs_per_sec": round(bs / eff, 2),
+            "perceptual_losses": not args.no_perceptual,
+            "note": "reference publishes no training wall-time "
+                    "(BASELINE.md); 8xA100 bs2/GPU is the published config",
+        },
+    }
+    with open(os.path.join(REPO, "BENCH_TRAIN.json"), "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
