@@ -68,6 +68,7 @@ class FullFaceSwapPipeline:
         self.comp = components
         self.cfg = cfg
         self._fused_call = None
+        self._fused_batch = None
         self._fused_checked = False
 
     # ---------------- stages ----------------
@@ -191,39 +192,49 @@ class FullFaceSwapPipeline:
                 return None
 
         meta = sw._pack_meta
+        blend_up_ratio = cfg.blend_up_ratio
 
         def fused(sw_packed, enh_packed, rec_packed, up_packed, inp_packed,
                   src_u8, tgt_u8):
+            # batched: src_u8/tgt_u8 are (B, S, S, 3); every component in the
+            # zoo is batch-capable, so B pairs swap in one program (the
+            # batched multi-pair mode of BASELINE config 5)
             from e4s2024_tpu.utils.packing import unpack_pytree
 
             tree = unpack_pytree(sw_packed, meta)
             rgi_vars, bise = tree["rgi"], tree["bise"]
             driven = src_u8.astype(jnp.float32)
             if enh is not None:
-                driven = enh._fwd(enh_packed, driven[None])[0]
+                driven = enh._fwd(enh_packed, driven)
             tgt_f = tgt_u8.astype(jnp.float32)
-            result = sw._swap_aligned_p(rgi_vars, bise, driven[None],
-                                        tgt_f[None])
-            swapped = result["image"][0].astype(jnp.float32)
+            result = sw._swap_aligned_p(rgi_vars, bise, driven, tgt_f)
+            swapped = result["image"].astype(jnp.float32)
+            h = swapped.shape[1]
             if rec is not None:
-                d19 = sw._parse19_p(bise, driven[None] / 255.0)
-                t19 = sw._parse19_p(bise, tgt_f[None] / 255.0)
-                rec_out = rec._fwd(rec_packed, swapped[None], tgt_f[None],
-                                   d19, t19)
-                if up is not None and rec_out.shape[1] * 4 <= swapped.shape[0]:
+                d19 = sw._parse19_p(bise, driven / 255.0)
+                t19 = sw._parse19_p(bise, tgt_f / 255.0)
+                rec_out = rec._fwd(rec_packed, swapped, tgt_f, d19, t19)
+                if up is not None and rec_out.shape[1] * 4 <= h:
                     rec_out = jnp.clip(up._fwd(up_packed, rec_out) * 255.0,
                                        0, 255)
-                swapped = self._recolor_composite(rec_out, swapped)
+                # batched form of _recolor_composite (same ops, same math)
+                rec_out = resize_bilinear(rec_out, (h, h))
+                edge = jnp.clip(sobel_edge(swapped) / 255.0, 0.0, 1.0)
+                swapped = jnp.clip(
+                    blend_with_mask(rec_out, swapped, edge, blend_up_ratio),
+                    0, 255)
             if inp is not None:
-                out = inp._fwd(inp_packed, swapped[None],
-                               result["hole_mask"][0][None])
-                swapped = self._inpaint_composite(swapped, out[0],
-                                                  result["hole_mask"][0])
+                out = inp._fwd(inp_packed, swapped, result["hole_mask"])
+                # batched form of _inpaint_composite
+                mask = result["hole_mask"].astype(jnp.float32)[..., None]
+                soft, _ = soft_erosion(resize_bilinear(mask, (h, h)))
+                swapped = jnp.clip(blend_with_mask(swapped, out, soft, 1.0),
+                                   0, 255)
             return jnp.clip(swapped, 0, 255).astype(jnp.uint8)
 
         fused_jit = jax.jit(fused)
 
-        def call(src_u8, tgt_u8):
+        def call_batch(src_u8, tgt_u8):
             return fused_jit(
                 sw._packed,
                 enh._packed if enh is not None else None,
@@ -232,8 +243,27 @@ class FullFaceSwapPipeline:
                 inp._packed if inp is not None else None,
                 src_u8, tgt_u8)
 
+        def call(src_u8, tgt_u8):
+            return call_batch(src_u8[None], tgt_u8[None])[0]
+
+        self._fused_batch = call_batch
         self._fused_call = call
         return call
+
+    def swap_batch(self, source_crops255, target_crops255) -> np.ndarray:
+        """Swap B pre-aligned pairs at once: (B, S, S, 3) -> (B, S, S, 3)
+        uint8. One fused program per call when the config allows it (the
+        batched multi-pair path, reference gradio_swap.py batch mode /
+        Face_swap_with_two_imgs.py main batch driver :966-1106); otherwise
+        falls back to per-pair staged swaps."""
+        from e4s2024_tpu.pipelines.swap import _as_u8
+
+        if self._maybe_build_fused() is not None:
+            out = self._fused_batch(_as_u8(source_crops255),
+                                    _as_u8(target_crops255))
+            return np.asarray(out)
+        return np.stack([self(s, t)["image"]
+                         for s, t in zip(source_crops255, target_crops255)])
 
     # ---------------- full pipeline ----------------
 

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="also measure the batched multi-pair fused path at "
+                         "this batch; 0 disables")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +109,29 @@ def main():
         best = min(best, (time.perf_counter() - t0) / args.iters)
     assert out["image"].shape == (size, size, 3)
 
+    # batched multi-pair path: B pairs per program call amortizes dispatch
+    # and fills the chip between the small zoo stages
+    batched_detail = {}
+    if args.batch > 1 and fused:
+        bsrc = jnp.asarray((rng.random((args.batch, size, size, 3)) * 255)
+                           .astype(np.uint8))
+        btgt = jnp.asarray((rng.random((args.batch, size, size, 3)) * 255)
+                           .astype(np.uint8))
+        pipe.swap_batch(bsrc, btgt)  # compile
+        bbest = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(max(2, args.iters // 2)):
+                bout = pipe.swap_batch(bsrc, btgt)
+            bbest = min(bbest, (time.perf_counter() - t0)
+                        / max(2, args.iters // 2))
+        assert bout.shape == (args.batch, size, size, 3)
+        batched_detail = {
+            "batch": args.batch,
+            "batched_swaps_per_sec": round(args.batch / bbest, 3),
+            "batched_seconds_per_call": round(bbest, 3),
+        }
+
     # per-stage breakdown (separate pass: the per-stage device syncs
     # serialize work the un-timed path overlaps, so its total is an upper
     # bound on the real swap time). First verbose call compiles the staged
@@ -124,6 +150,7 @@ def main():
         "vs_baseline": None,
         "detail": {"seconds_per_swap": round(best, 3), "size": size,
                    "fused_single_program": fused,
+                   **batched_detail,
                    "stage_ms_synced_staged_path": stage_ms,
                    "note": "BASELINE.md measurement config 3; the reference "
                            "publishes no number for this path"},

@@ -98,7 +98,7 @@ def main():
                 state, logs = step_fn(state, img, onehot, *extra)
             # sync by fetching one scalar (tunnel: block_until_ready is a
             # no-op; fetching whole outputs would time the 40 MB/s link)
-            float(np.asarray(logs["loss"]))
+            float(np.asarray(logs.get("loss", logs.get("d_loss"))))
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 

@@ -100,12 +100,29 @@ def test_fused_path_matches_staged(rng):
     # far fewer flips
     assert (diff > 8).mean() < 0.05
 
+    # batched multi-pair path: same program at B=2, per-pair results match
+    # the single-pair fused calls exactly (same ops, same math, batch axis
+    # only)
+    src2 = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    tgt2 = (rng.random((64, 64, 3)) * 255).astype(np.float32)
+    batch = pipe.swap_batch(np.stack([src, src2]), np.stack([tgt, tgt2]))
+    assert batch.shape == (2, 64, 64, 3) and batch.dtype == np.uint8
+    single2 = pipe(src2, tgt2)
+    for got, want in ((batch[0], fused["image"]), (batch[1], single2["image"])):
+        d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert d.mean() < 2.0 and (d > 8).mean() < 0.05
+
     # host-side ct modes can't fuse -> staged fallback, same API
     pipe_rct = FullFaceSwapPipeline(swapper, comps,
                                     FullSwapConfig(ct_mode="rct"))
     assert pipe_rct._maybe_build_fused() is None
     out = pipe_rct(src, tgt)
     assert out["image"].shape == (64, 64, 3)
+    # fallback swap_batch loops the staged path with the same contract
+    batch_staged = pipe_rct.swap_batch(np.stack([src, src2]),
+                                       np.stack([tgt, tgt2]))
+    assert batch_staged.shape == (2, 64, 64, 3)
+    assert batch_staged.dtype == np.uint8
 
 
 def test_pipeline_no_components(rng):
