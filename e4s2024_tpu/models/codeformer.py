@@ -143,9 +143,9 @@ class VQBlocks(nn.Module):
         block i when provided."""
         tapped = {}
         for i, (kind, _) in enumerate(self.plan):
+            # blocks apply plainly — the reference has NO activation between
+            # the final norm and conv_out (vqgan_arch.py:265-266, 319-321)
             x = self.mods[i](x)
-            if kind == "norm":
-                x = swish(x)
             if i in taps:
                 tapped[i] = x
             if fuse_fns and i in fuse_fns:
@@ -163,7 +163,7 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x, pos):
         # x: (B, T, C); pos added to q/k only
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         qk = h + pos
         b, t, c = x.shape
         qkv_k = self.param("qkv_kernel", nn.initializers.xavier_uniform(),
@@ -185,7 +185,7 @@ class TransformerLayer(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
         out = nn.Dense(c, name="out_proj")(out)
         x = x + out
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(self.dim_mlp, name="linear1")(h)
         h = nn.Dense(c, name="linear2")(jax.nn.gelu(h, approximate=False))
         return x + h
@@ -243,7 +243,7 @@ class CodeFormer(nn.Module):
             q = TransformerLayer(self.dim_embd, self.n_head,
                                  2 * self.dim_embd,
                                  name=f"ft_layers_{i}")(q, pos[None])
-        q = nn.LayerNorm(name="idx_norm")(q)
+        q = nn.LayerNorm(epsilon=1e-5, name="idx_norm")(q)
         logits = nn.Dense(self.codebook_size, use_bias=False,
                           name="idx_pred")(q)  # (B, 256, 1024)
 

@@ -122,9 +122,14 @@ class GPENGenerator(nn.Module):
             w = layer(w)
         return w
 
-    def __call__(self, w, noise):
-        """w: (B, 512) latent (already mapped); noise: list of per-layer
-        (B, res, res, C) feature maps (encoder skips)."""
+    def __call__(self, w, noise, input_is_latent=False):
+        """w: (B, 512) encoder code; noise: list of per-layer (B, res, res, C)
+        feature maps (encoder skips). Unless input_is_latent, w is mapped
+        through the style MLP first — the reference FullGenerator calls its
+        generator with input_is_latent=False (gpen_model.py:689), so the
+        8-layer mapping network IS part of the restoration forward."""
+        if not input_is_latent:
+            w = self.style(w)
         latent = jnp.tile(w[:, None], (1, self.n_latent, 1))
         out = jnp.tile(self.const_input, (w.shape[0], 1, 1, 1))
         out = self.conv1(out, latent[:, 0], noise[0])
@@ -160,7 +165,9 @@ class GPENFullGenerator(nn.Module):
             out = ConvLayer(ch[2 ** (i - 1)], 3, downsample=True,
                             name=f"ecd_{log_size - i + 1}")(out)
             feats.append(out)
-        flat = out.reshape(out.shape[0], -1)
+        # torch NCHW (C,H,W) flatten order so converted final_linear weights
+        # apply unpermuted (gpen_model.py:683 out.view(batch, -1))
+        flat = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)
         w = EqualLinear(self.style_dim, activation="fused_lrelu",
                         name="final_linear")(flat)
 

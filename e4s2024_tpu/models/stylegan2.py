@@ -425,7 +425,9 @@ class Discriminator(nn.Module):
         out = jnp.concatenate([out, stddev], axis=-1)
 
         out = ConvLayer(channels[4], 3, name="final_conv")(out)
-        out = out.reshape(b, -1)
+        # flatten in torch's NCHW (C,H,W) order so converted final_linear
+        # weights apply unpermuted (reference model.py:828 out.view(batch,-1))
+        out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, -1)
         out = EqualLinear(channels[4], activation="fused_lrelu", name="final_linear_0")(out)
         out = EqualLinear(1, name="final_linear_1")(out)
         return out

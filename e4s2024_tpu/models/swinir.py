@@ -103,7 +103,7 @@ class SwinBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
             mask = jnp.asarray(_shift_mask(h, w, self.window, self.shift))
@@ -116,7 +116,7 @@ class SwinBlock(nn.Module):
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + x
-        h2 = nn.LayerNorm(name="norm2")(x)
+        h2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h2 = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h2)
         h2 = nn.Dense(self.dim, name="fc2")(jax.nn.gelu(h2, approximate=False))
         return x + h2
@@ -154,11 +154,11 @@ class SwinIR(nn.Module):
         x = x - _RGB_MEAN
         feat = nn.Conv(self.embed_dim, (3, 3), padding=1, name="conv_first")(x)
         # patch_embed norm (patch_norm=True in the reference config)
-        body = nn.LayerNorm(name="patch_norm")(feat)
+        body = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(feat)
         for i, (d, nh) in enumerate(zip(self.depths, self.heads)):
             body = RSTB(self.embed_dim, d, nh, self.window,
                         name=f"layers_{i}")(body)
-        body = nn.LayerNorm(name="norm")(body)
+        body = nn.LayerNorm(epsilon=1e-5, name="norm")(body)
         body = nn.Conv(self.embed_dim, (3, 3), padding=1,
                        name="conv_after_body")(body)
         feat = feat + body
@@ -166,8 +166,12 @@ class SwinIR(nn.Module):
         def lrelu(v):
             return jnp.where(v >= 0, v, 0.2 * v)
 
-        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1,
-                             name="conv_before_upsample")(feat))
+        # conv_before_upsample's activation is nn.LeakyReLU() with the torch
+        # DEFAULT slope 0.01 (network_swinir.py Sequential), unlike the 0.2
+        # self.lrelu used after the up convs
+        pre = nn.Conv(self.num_feat, (3, 3), padding=1,
+                      name="conv_before_upsample")(feat)
+        feat = jnp.where(pre >= 0, pre, 0.01 * pre)
         h, w = feat.shape[1], feat.shape[2]
         feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_up1")(
             resize_nearest(feat, (2 * h, 2 * w))))

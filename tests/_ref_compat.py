@@ -68,15 +68,23 @@ def install_torchvision_stub():
             return out
 
     tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.15.0"
     models_m = types.ModuleType("torchvision.models")
     _utils = types.ModuleType("torchvision.models._utils")
     detection = types.ModuleType("torchvision.models.detection")
     backbone_utils = types.ModuleType(
         "torchvision.models.detection.backbone_utils")
     transforms = types.ModuleType("torchvision.transforms")
+    ops_m = types.ModuleType("torchvision.ops")
+
+    def _no_deform(*a, **k):  # only reached by DCNv2 paths we don't test
+        raise NotImplementedError("deform_conv2d stub")
+
+    ops_m.deform_conv2d = _no_deform
     _utils.IntermediateLayerGetter = IntermediateLayerGetter
     tv.models = models_m
     tv.transforms = transforms
+    tv.ops = ops_m
     models_m._utils = _utils
     models_m.detection = detection
     detection.backbone_utils = backbone_utils
@@ -85,7 +93,8 @@ def install_torchvision_stub():
                       ("torchvision.models.detection", detection),
                       ("torchvision.models.detection.backbone_utils",
                        backbone_utils),
-                      ("torchvision.transforms", transforms)]:
+                      ("torchvision.transforms", transforms),
+                      ("torchvision.ops", ops_m)]:
         sys.modules[name] = mod
 
 
@@ -142,11 +151,230 @@ def install_stylegan2_op_stub():
     sys.modules["models.stylegan2.op.conv2d_gradfix"] = conv2d_gradfix
 
 
+def install_basicsr_stub():
+    """Minimal `basicsr` so the reference's vendored archs import: the archs
+    use only get_root_logger, ARCH_REGISTRY (a no-op decorator registry),
+    default_init_weights (init-time only — parity converts the actual
+    state_dict, so a no-op preserves numerics), and the DCN symbols (module
+    import only; the archs under test never call them)."""
+    if "basicsr" in sys.modules:
+        return
+    import logging
+
+    import torch.nn as nn
+
+    class _Registry:
+        def __init__(self):
+            self._obj = {}
+
+        def register(self, obj=None):
+            if obj is not None:
+                self._obj[obj.__name__] = obj
+                return obj
+
+            def deco(cls):
+                self._obj[cls.__name__] = cls
+                return cls
+
+            return deco
+
+        def get(self, name):
+            return self._obj[name]
+
+    def default_init_weights(*a, **k):
+        return None
+
+    def make_layer(basic_block, num_basic_block, **kwarg):
+        return nn.Sequential(
+            *[basic_block(**kwarg) for _ in range(num_basic_block)])
+
+    class _DCNStub(nn.Module):
+        def forward(self, *a, **k):
+            raise NotImplementedError("DCN stub")
+
+    basicsr = types.ModuleType("basicsr")
+    utils = types.ModuleType("basicsr.utils")
+    registry = types.ModuleType("basicsr.utils.registry")
+    download = types.ModuleType("basicsr.utils.download_util")
+    archs = types.ModuleType("basicsr.archs")
+    arch_util = types.ModuleType("basicsr.archs.arch_util")
+    ops = types.ModuleType("basicsr.ops")
+    dcn = types.ModuleType("basicsr.ops.dcn")
+
+    utils.get_root_logger = lambda *a, **k: logging.getLogger("basicsr")
+    registry.ARCH_REGISTRY = _Registry()
+    download.load_file_from_url = _DCNStub  # never called in parity tests
+    arch_util.default_init_weights = default_init_weights
+    arch_util.make_layer = make_layer
+    dcn.ModulatedDeformConvPack = _DCNStub
+    dcn.modulated_deform_conv = _DCNStub()
+    basicsr.utils = utils
+    basicsr.archs = archs
+    basicsr.ops = ops
+    utils.registry = registry
+    utils.download_util = download
+    archs.arch_util = arch_util
+    ops.dcn = dcn
+    for name, mod in [("basicsr", basicsr), ("basicsr.utils", utils),
+                      ("basicsr.utils.registry", registry),
+                      ("basicsr.utils.download_util", download),
+                      ("basicsr.archs", archs),
+                      ("basicsr.archs.arch_util", arch_util),
+                      ("basicsr.ops", ops), ("basicsr.ops.dcn", dcn)]:
+        sys.modules[name] = mod
+
+
+def install_timm_stub():
+    """`timm.models.layers` symbols SwinIR imports: identity DropPath (eval
+    semantics / drop_prob=0 — the config SwinIR ships with), to_2tuple, and
+    torch's own trunc_normal_."""
+    if "timm" in sys.modules:
+        return
+    import torch.nn as nn
+    from torch.nn.init import trunc_normal_
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    timm = types.ModuleType("timm")
+    models_m = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    timm.models = models_m
+    models_m.layers = layers
+    for name, mod in [("timm", timm), ("timm.models", models_m),
+                      ("timm.models.layers", layers)]:
+        sys.modules[name] = mod
+
+
+def _pure_torch_op_module(name: str):
+    """A pure-torch replica of the reference CUDA op packages (same documented
+    fallback semantics as install_stylegan2_op_stub), registered as `name`."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from tests.test_upfirdn import torch_upfirdn2d
+
+    def fused_leaky_relu(input, bias=None, negative_slope=0.2, scale=2 ** 0.5,
+                         **kw):  # GPEN's copy passes device=
+        if bias is not None:
+            shape = [1, -1] + [1] * (input.ndim - 2)
+            input = input + bias.view(*shape)
+        return F.leaky_relu(input, negative_slope) * scale
+
+    class FusedLeakyReLU(nn.Module):
+        def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5,
+                     device=None):
+            super().__init__()
+            self.bias = nn.Parameter(torch.zeros(channel))
+            self.negative_slope = negative_slope
+            self.scale = scale
+
+        def forward(self, input):
+            return fused_leaky_relu(input, self.bias, self.negative_slope,
+                                    self.scale)
+
+    def upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0), **kw):
+        return torch_upfirdn2d(input, kernel, up, down, pad)
+
+    op = types.ModuleType(name)
+    op.FusedLeakyReLU = FusedLeakyReLU
+    op.fused_leaky_relu = fused_leaky_relu
+    op.upfirdn2d = upfirdn2d
+    sys.modules[name] = op
+    fa = types.ModuleType(name + ".fused_act")
+    fa.FusedLeakyReLU = FusedLeakyReLU
+    fa.fused_leaky_relu = fused_leaky_relu
+    sys.modules[name + ".fused_act"] = fa
+    uf = types.ModuleType(name + ".upfirdn2d")
+    uf.upfirdn2d = upfirdn2d
+    sys.modules[name + ".upfirdn2d"] = uf
+    return op
+
+
+def install_zoo_op_stubs():
+    """Pre-seed sys.modules so GPEN's and GCFSR's op packages (CUDA-compile-
+    at-import copies of the stylegan2 ops, SURVEY §2.1) resolve to the
+    pure-torch fallbacks instead."""
+    for name in ("swap_face_fine.gpen.face_model.op", "swap_face_fine.ops"):
+        if name not in sys.modules:
+            _pure_torch_op_module(name)
+
+
+@contextlib.contextmanager
+def view_fallback():
+    """torch `.view` fails on tensors CPU strided ops leave non-contiguous
+    (fine on CUDA); reshape == view + copy when needed, numerics identical."""
+    import torch
+
+    _view = torch.Tensor.view
+
+    def view_or_reshape(self, *shape):
+        try:
+            return _view(self, *shape)
+        except RuntimeError:
+            return self.reshape(*shape)
+
+    torch.Tensor.view = view_or_reshape
+    try:
+        yield
+    finally:
+        torch.Tensor.view = _view
+
+
+def install_skimage_stub():
+    """Empty `skimage` so MISF's kpn/utils.py imports (it only touches
+    skimage inside functions the parity tests never call)."""
+    if "skimage" not in sys.modules:
+        sys.modules["skimage"] = types.ModuleType("skimage")
+
+
+def import_from_path(name: str, path: str):
+    """Load a single reference source file that is not importable as a
+    package member (missing __init__.py chain), e.g. SwinIR's models dir."""
+    import importlib.util
+
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def package_from_dir(name: str, directory: str):
+    """Register a synthetic package rooted at `directory` so files with
+    relative imports (e.g. GFPGAN's archs) can be imported without executing
+    the repo's heavy package __init__ (which pulls basicsr data/model code)."""
+    if name in sys.modules:
+        return sys.modules[name]
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [directory]
+    sys.modules[name] = pkg
+    return pkg
+
+
 def install_all():
     install_reference_path()
     install_cuda_noops()
     install_torchvision_stub()
     install_stylegan2_op_stub()
+    install_basicsr_stub()
+    install_timm_stub()
+    install_zoo_op_stubs()
+    install_skimage_stub()
 
 
 def randomize_bn_stats(net, seed: int = 0):

@@ -10,8 +10,13 @@ name map fails here, where a self-consistent round-trip would pass.
 Covered families (VERDICT round-2 item 2): Net3 (models/networks.py:51),
 BiSeNet face parser (swap_face_fine/face_parsing/model.py:236), Blender
 recolorer (swap_face_fine/Blender/model_center/blener.py:7), faceVid2Vid
-KP detector / HE estimator (face_vid2vid/modules/keypoint_detector.py).
-RetinaFace is covered in test_detect.py the same way.
+KP detector / HE estimator (face_vid2vid/modules/keypoint_detector.py),
+ArcFace ir_se50 (models/encoders/model_irse.py:9), parsing U-Net
+(criteria/face_parsing/unet.py:6), Hopenet (head_pose_esit/hopenet.py:7),
+RealESRGAN RRDBNet (swap_face_fine/archs/rrdbnet_arch.py), StyleGAN2
+Discriminator (models/stylegan2/model.py:771), and the zoo families in the
+second half of this file. RetinaFace is covered in test_detect.py the same
+way.
 
 All tests are CPU (float32) with tight tolerances.
 """
@@ -269,3 +274,451 @@ def test_net3_full_parity():
                             method=RGINet.gen_img, regional_mode="exact")
     np.testing.assert_allclose(np.asarray(img_j).transpose(0, 3, 1, 2),
                                img_t.numpy(), atol=2e-3, rtol=1e-3)
+
+
+# ------------------------------------------------- ArcFace ir_se50 (ID loss)
+
+
+@pytest.mark.slow
+def test_arcface_forward_parity():
+    """Backbone(112, 50, 'ir_se') — the ID-loss feature net (reference
+    criteria/id_loss.py:24) — vs ArcFaceBackbone through convert_arcface,
+    including the multi-scale taps the ID loss consumes."""
+    from models.encoders.model_irse import Backbone
+
+    from e4s2024_tpu.convert.torch_loader import convert_arcface
+    from e4s2024_tpu.models.arcface import ArcFaceBackbone
+
+    with _ref_compat.view_fallback():
+        _run_arcface_parity(Backbone, convert_arcface, ArcFaceBackbone)
+
+
+def _run_arcface_parity(Backbone, convert_arcface, ArcFaceBackbone):
+    torch.manual_seed(20)
+    tnet = Backbone(input_size=112, num_layers=50, mode="ir_se").eval()
+    _ref_compat.randomize_bn_stats(tnet, 21)
+    params = convert_arcface(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(22)
+    x = (rng.random((1, 112, 112, 3)).astype(np.float32)) * 2.0 - 1.0
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   multi_scale=True)
+    ours = ArcFaceBackbone().apply({"params": params}, jnp.asarray(x),
+                                   multi_scale=True)
+    assert len(ours) == len(ref) == 5
+    # torch taps are NCHW-flattened; ours are NHWC-flattened — compare after
+    # restoring the (C,H,W) order on our side (the ID loss takes cosines of
+    # each tap against the same layout, so order is a pure relabeling)
+    sizes = {2: (64, 56), 6: (128, 28), 20: (256, 14), 23: (512, 7)}
+    for j, i in enumerate((2, 6, 20, 23)):
+        c, h = sizes[i]
+        o = np.asarray(ours[j]).reshape(1, h, h, c).transpose(0, 3, 1, 2)
+        o = o.reshape(1, -1)
+        np.testing.assert_allclose(o, ref[j].numpy(), atol=3e-4, rtol=1e-3,
+                                   err_msg=f"tap {i}")
+    np.testing.assert_allclose(np.asarray(ours[4]), ref[4].numpy(),
+                               atol=3e-4, rtol=1e-3, err_msg="embedding")
+
+
+# --------------------------------------------- parsing U-Net (parsing loss)
+
+
+@pytest.mark.slow
+def test_parsing_unet_forward_parity():
+    """criteria/face_parsing/unet.py `unet` (the face-parsing-loss feature
+    net) vs ParsingUNet through convert_parsing_unet."""
+    from criteria.face_parsing.unet import unet as TorchUnet
+
+    from e4s2024_tpu.convert.torch_loader import convert_parsing_unet
+    from e4s2024_tpu.models.parser_unet import ParsingUNet
+
+    torch.manual_seed(23)
+    tnet = TorchUnet().eval()
+    _ref_compat.randomize_bn_stats(tnet, 24)
+    params = convert_parsing_unet(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(25)
+    x = rng.random((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = ParsingUNet().apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=3e-4, rtol=1e-3)
+
+
+# ------------------------------------------------------------------ Hopenet
+
+
+@pytest.mark.slow
+def test_hopenet_forward_parity():
+    """head_pose_esit/hopenet.py Hopenet (ResNet-50 flavor, the shipped
+    hopenet_robust_alpha1.pkl arch) vs our Hopenet through convert_hopenet.
+    The reference takes `block` from torchvision; the canonical torchvision
+    Bottleneck is replicated locally (same param names => same state_dict)."""
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    from head_pose_esit.hopenet import Hopenet as TorchHopenet
+
+    from e4s2024_tpu.convert.torch_loader import convert_hopenet
+    from e4s2024_tpu.models.hopenet import Hopenet
+
+    torch.manual_seed(26)
+    tnet = TorchHopenet(Bottleneck, [3, 4, 6, 3], 66).eval()
+    _ref_compat.randomize_bn_stats(tnet, 27)
+    params = convert_hopenet(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(28)
+    x = rng.standard_normal((1, 224, 224, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = Hopenet().apply({"params": params}, jnp.asarray(x))
+    for o, r, name in zip(ours, ref, ("yaw", "pitch", "roll")):
+        np.testing.assert_allclose(np.asarray(o), r.numpy(), atol=3e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
+# ------------------------------------------------------- RealESRGAN RRDBNet
+
+
+@pytest.mark.slow
+def test_rrdbnet_forward_parity():
+    """swap_face_fine/archs/rrdbnet_arch.py RRDBNet (x4, the RealESRGAN
+    upscaler arch) vs our RRDBNet through convert_rrdbnet, tiny config."""
+    from swap_face_fine.archs.rrdbnet_arch import RRDBNet as TorchRRDB
+
+    from e4s2024_tpu.convert.torch_loader import convert_rrdbnet
+    from e4s2024_tpu.models.rrdb import RRDBNet
+
+    torch.manual_seed(29)
+    tnet = TorchRRDB(3, 3, scale=4, num_feat=16, num_block=2,
+                     num_grow_ch=8).eval()
+    params = convert_rrdbnet(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(30)
+    x = rng.random((1, 24, 24, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = RRDBNet(num_feat=16, num_block=2, num_grow=8).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=3e-4, rtol=1e-3)
+
+
+# ------------------------------------------------- StyleGAN2 Discriminator
+
+
+@pytest.mark.slow
+def test_discriminator_forward_parity():
+    """models/stylegan2/model.py:771 Discriminator (minibatch stddev incl.)
+    vs our Discriminator through convert_discriminator, size 64."""
+    from models.stylegan2.model import Discriminator as TorchD
+
+    from e4s2024_tpu.convert.torch_loader import convert_discriminator
+    from e4s2024_tpu.models.stylegan2 import Discriminator
+
+    torch.manual_seed(31)
+    tnet = TorchD(size=64, channel_multiplier=1).eval()
+    params = convert_discriminator(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(32)
+    x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = Discriminator(size=64, channel_multiplier=1).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=5e-4,
+                               rtol=1e-3)
+
+
+# ------------------------------------------------------- GPEN FullGenerator
+
+
+@pytest.mark.slow
+def test_gpen_forward_parity():
+    """swap_face_fine/gpen/face_model/gpen_model.py:628 FullGenerator (the
+    GPEN enhancer net; encoder feats double as decoder noise, so the forward
+    is deterministic) vs GPENFullGenerator through convert_gpen."""
+    from swap_face_fine.gpen.face_model.gpen_model import (
+        FullGenerator as TorchGPEN,
+    )
+
+    from e4s2024_tpu.convert.torch_loader import convert_gpen
+    from e4s2024_tpu.models.gpen import GPENFullGenerator
+
+    torch.manual_seed(33)
+    tnet = TorchGPEN(size=32, style_dim=64, n_mlp=2, channel_multiplier=1,
+                     narrow=0.5, device="cpu").eval()
+    params = convert_gpen(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(34)
+    x = (rng.random((1, 32, 32, 3)).astype(np.float32)) * 2.0 - 1.0
+    with torch.no_grad():
+        ref_img, _ = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    img, _ = GPENFullGenerator(size=32, style_dim=64, n_mlp=2,
+                               channel_multiplier=1, narrow=0.5).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(img).transpose(0, 3, 1, 2),
+                               ref_img.numpy(), atol=5e-4, rtol=1e-3)
+
+
+# ------------------------------------------------- GCFSR FaceInpaintingArch
+
+
+@pytest.mark.slow
+def test_gcfsr_inpainting_forward_parity():
+    """swap_face_fine/gcfsr_arch.py:1347 FaceInpaintingArch at the shipped
+    256^2 config (final_linear hard-codes narrow=1 channels) vs FaceInpainting
+    through convert_gcfsr; stored noise buffers zeroed == our noise=None."""
+    from swap_face_fine.gcfsr_arch import FaceInpaintingArch
+
+    from e4s2024_tpu.convert.torch_loader import convert_gcfsr
+    from e4s2024_tpu.models.gcfsr import FaceInpainting
+
+    torch.manual_seed(35)
+    tnet = FaceInpaintingArch(out_size=256).eval()
+    params = convert_gcfsr(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(36)
+    x = rng.random((1, 256, 256, 4)).astype(np.float32) * 2.0 - 1.0
+    in_size = np.full((1, 1), 0.35, np.float32)
+    # explicit zero noise == our noise=None path (the arch's stored noise
+    # buffers are sized for the 4x4-rooted GCFSR decoder, not this 16x16-
+    # rooted one, so the reference's own randomize_noise=False path crashes)
+    num_layers = (8 - 4) * 2 + 1
+    sizes = [16] + [s for p in range(4) for s in (32 * 2 ** p,) * 2]
+    zero_noise = [torch.zeros(1, 1, s, s) for s in sizes[:num_layers]]
+    with torch.no_grad():
+        ref_img, _ = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          torch.from_numpy(in_size), noise=zero_noise)
+    img, _ = FaceInpainting(out_size=256).apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(in_size))
+    np.testing.assert_allclose(np.asarray(img).transpose(0, 3, 1, 2),
+                               ref_img.numpy(), atol=1e-3, rtol=1e-3)
+
+
+# ------------------------------------------------------------ GFPGANv1Clean
+
+
+@pytest.mark.slow
+def test_gfpgan_forward_parity():
+    """GFPGAN/gfpgan/archs/gfpganv1_clean_arch.py:153 GFPGANv1Clean (v1.3
+    shipped flags: different_w + sft_half) vs ours through convert_gfpgan,
+    out_size 64; decoder noise buffers zeroed == our noise=None."""
+    import importlib
+
+    _ref_compat.package_from_dir(
+        "refgfp_archs", _ref_compat.REF + "/swap_face_fine/GFPGAN/gfpgan/archs")
+    TorchGFP = importlib.import_module(
+        "refgfp_archs.gfpganv1_clean_arch").GFPGANv1Clean
+
+    from e4s2024_tpu.convert.torch_loader import convert_gfpgan
+    from e4s2024_tpu.models.gfpgan import GFPGANv1Clean
+
+    torch.manual_seed(37)
+    tnet = TorchGFP(out_size=64, num_style_feat=64, channel_multiplier=1,
+                    decoder_load_path=None, fix_decoder=False, num_mlp=2,
+                    input_is_latent=True, different_w=True, narrow=1,
+                    sft_half=True).eval()
+    for b in tnet.stylegan_decoder.noises.buffers():
+        b.zero_()
+    params = convert_gfpgan(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(38)
+    x = rng.random((1, 64, 64, 3)).astype(np.float32) * 2.0 - 1.0
+    with torch.no_grad(), _ref_compat.view_fallback():
+        ref_img, _ = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          return_rgb=False, randomize_noise=False)
+    img, _ = GFPGANv1Clean(out_size=64, num_style_feat=64,
+                           channel_multiplier=1, narrow=1).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(img).transpose(0, 3, 1, 2),
+                               ref_img.numpy(), atol=1e-3, rtol=1e-3)
+
+
+# ------------------------------------------------------------------- SwinIR
+
+
+@pytest.mark.slow
+def test_swinir_forward_parity():
+    """SwinIR/models/network_swinir.py SwinIR ('nearest+conv' real_sr flavor)
+    vs ours through convert_swinir at a tiny 2-layer config — exercises
+    window attention, shifted-window masking, and relative position bias."""
+    TorchSwinIR = _ref_compat.import_from_path(
+        "ref_network_swinir",
+        _ref_compat.REF + "/swap_face_fine/SwinIR/models/network_swinir.py",
+    ).SwinIR
+
+    from e4s2024_tpu.convert.torch_loader import convert_swinir
+    from e4s2024_tpu.models.swinir import SwinIR
+
+    torch.manual_seed(39)
+    tnet = TorchSwinIR(upscale=4, in_chans=3, img_size=16, window_size=8,
+                       img_range=1.0, depths=[2, 2], embed_dim=24,
+                       num_heads=[2, 4], mlp_ratio=2,
+                       upsampler="nearest+conv",
+                       resi_connection="1conv").eval()
+    params = convert_swinir(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(40)
+    x = rng.random((1, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = SwinIR(embed_dim=24, depths=(2, 2), heads=(2, 4), window=8).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=5e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------- MISF
+
+
+@pytest.mark.slow
+def test_misf_forward_parity():
+    """MISF/src/networks.py:35 InpaintGenerator (KPN kernel-prediction
+    inpainter) vs MISFGenerator through convert_misf. 256^2: the torch KPN
+    hardcodes the 64x64 kernel-map size (kpn/network.py:153). The KPN is
+    built directly at the shipped config (FILTER_TYPE='256', kernel [3]) —
+    create_generator only adds checkpoint loading around it."""
+    from swap_face_fine.MISF.kpn import network as kpn_network
+    from swap_face_fine.MISF.kpn import utils as kpn_utils
+    from swap_face_fine.MISF.src import networks as misf_networks
+
+    from e4s2024_tpu.convert.torch_loader import convert_misf
+    from e4s2024_tpu.models.misf import MISFGenerator
+
+    def make_kpn(config):
+        return kpn_network.KPN(
+            color=True, burst_length=1, blind_est=True, kernel_size=[3],
+            sep_conv=False, channel_att=False, spatial_att=False,
+            upMode="bilinear", core_bias=False, filter_type="256")
+
+    orig = kpn_utils.create_generator
+    kpn_utils.create_generator = make_kpn
+    try:
+        torch.manual_seed(41)
+        cfg = argparse.Namespace(FILTER_TYPE="256", kernel_size=[3])
+        tnet = misf_networks.InpaintGenerator(
+            config=cfg, residual_blocks=8, init_weights=False).eval()
+    finally:
+        kpn_utils.create_generator = orig
+    params = convert_misf(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(42)
+    img = rng.random((1, 256, 256, 3)).astype(np.float32)
+    mask = (rng.random((1, 256, 256, 1)) > 0.7).astype(np.float32)
+    x4 = np.concatenate([img * (1 - mask), mask], axis=-1)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x4.transpose(0, 3, 1, 2)))
+    ours = MISFGenerator().apply({"params": params}, jnp.asarray(x4))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=1e-3, rtol=1e-3)
+
+
+# --------------------------------------- faceVid2Vid SPADE generator (full)
+
+
+@pytest.mark.slow
+def test_facevid2vid_generator_parity():
+    """OcclusionAwareSPADEGenerator (generator.py:161) — dense motion,
+    3D warp, occlusion, SPADE decoder — at the full vox-256 config (the
+    dense-motion hourglass depth requires the real 64^2 feature grid) vs
+    ours through convert_facevid2vid_generator."""
+    from swap_face_fine.face_vid2vid.modules.generator import (
+        OcclusionAwareSPADEGenerator as TorchGen,
+    )
+
+    from e4s2024_tpu.convert.torch_loader import (
+        convert_facevid2vid_generator,
+    )
+    from e4s2024_tpu.models.facevid2vid import OcclusionAwareSPADEGenerator
+
+    torch.manual_seed(43)
+    tnet = TorchGen(
+        image_channel=3, feature_channel=32, num_kp=15, block_expansion=64,
+        max_features=512, num_down_blocks=2, reshape_channel=32,
+        reshape_depth=16, num_resblocks=6, estimate_occlusion_map=True,
+        dense_motion_params={"block_expansion": 32, "max_features": 1024,
+                             "num_blocks": 5, "reshape_depth": 16,
+                             "compress": 4},
+        estimate_jacobian=False).eval()
+    _ref_compat.randomize_bn_stats(tnet, 44)
+    params = convert_facevid2vid_generator(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(45)
+    src = rng.random((1, 256, 256, 3)).astype(np.float32)
+    kp_s = rng.standard_normal((1, 15, 3)).astype(np.float32) * 0.3
+    kp_d = rng.standard_normal((1, 15, 3)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(src.transpose(0, 3, 1, 2)),
+                   kp_source={"value": torch.from_numpy(kp_s)},
+                   kp_driving={"value": torch.from_numpy(kp_d)})
+    ours = OcclusionAwareSPADEGenerator().apply(
+        {"params": params}, jnp.asarray(src), {"value": jnp.asarray(kp_d)},
+        {"value": jnp.asarray(kp_s)})
+    np.testing.assert_allclose(
+        np.asarray(ours["occlusion_map"]).transpose(0, 3, 1, 2),
+        ref["occlusion_map"].numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ours["prediction"]).transpose(0, 3, 1, 2),
+        ref["prediction"].numpy(), atol=2e-3, rtol=1e-3)
+
+
+# --------------------------------------------------------------- CodeFormer
+
+
+@pytest.mark.slow
+def test_codeformer_forward_parity():
+    """archs/codeformer_arch.py:161 CodeFormer (512^2 VQGAN + transformer,
+    the fixed shipped arch) vs ours through convert_codeformer at w=0."""
+    from swap_face_fine.archs.codeformer_arch import (
+        CodeFormer as TorchCodeFormer,
+    )
+
+    from e4s2024_tpu.convert.torch_loader import convert_codeformer
+    from e4s2024_tpu.models.codeformer import CodeFormer
+
+    torch.manual_seed(46)
+    tnet = TorchCodeFormer(dim_embd=512, n_head=8, n_layers=9,
+                           codebook_size=1024, latent_size=256,
+                           connect_list=["32", "64", "128", "256"],
+                           fix_modules=None).eval()
+    params = convert_codeformer(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(47)
+    x = rng.random((1, 512, 512, 3)).astype(np.float32) * 2.0 - 1.0
+    with torch.no_grad():
+        ref_img, ref_logits, ref_lq = tnet(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), w=0.0, adain=False)
+    img, logits, lq = CodeFormer().apply({"params": params}, jnp.asarray(x),
+                                         w=0.0)
+    np.testing.assert_allclose(np.asarray(lq).transpose(0, 3, 1, 2),
+                               ref_lq.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(img).transpose(0, 3, 1, 2),
+                               ref_img.numpy(), atol=5e-3, rtol=1e-3)
