@@ -905,6 +905,15 @@ def convert_lia(sd: Mapping[str, np.ndarray], size: int = 256) -> dict:
     import math
 
     sd = strip_module_prefix(sd)
+    # LIA's own FusedLeakyReLU stores bias as (1, C, 1, 1)
+    # (networks/encoder.py:14, styledecoder.py:15) where the rosinality op
+    # uses (C,); flatten those so the shared helpers apply. The standalone
+    # ToRGB/ToFlow biases keep their raw 4-d form (handled explicitly below).
+    raw = sd
+    sd = {k: (v.reshape(-1)
+              if (k.endswith(".bias") and getattr(v, "ndim", 0) == 4
+                  and v.shape[0] == 1 and v.shape[2:] == (1, 1)) else v)
+          for k, v in sd.items()}
     log_size = int(math.log2(size))
 
     net_app: dict[str, Any] = {
@@ -928,11 +937,18 @@ def convert_lia(sd: Mapping[str, np.ndarray], size: int = 256) -> dict:
     for i in range(2 * (log_size - 2)):
         dec[f"convs_{i}"] = _styled_conv(sd, f"dec.convs.{i}")
     for j in range(log_size - 2):
-        dec[f"to_rgbs_{j}"] = _to_rgb(sd, f"dec.to_rgbs.{j}")
+        # LIA ToRGB (styledecoder.py:374) is UNmodulated: ConvLayer
+        # [EqualConv2d, FusedLeakyReLU] + standalone bias
+        dec[f"to_rgbs_{j}"] = {
+            "conv": _conv(sd, f"dec.to_rgbs.{j}.conv.0", "weight"),
+            "act_bias": sd[f"dec.to_rgbs.{j}.conv.1.bias"],
+            "bias": np.ascontiguousarray(
+                raw[f"dec.to_rgbs.{j}.bias"].transpose(0, 2, 3, 1)),
+        }
         dec[f"to_flows_{j}"] = {
             "conv": _modconv(sd, f"dec.to_flows.{j}.conv"),
             "bias": np.ascontiguousarray(
-                sd[f"dec.to_flows.{j}.bias"].transpose(0, 2, 3, 1)),
+                raw[f"dec.to_flows.{j}.bias"].transpose(0, 2, 3, 1)),
         }
     return {"enc": enc, "dec": dec}
 

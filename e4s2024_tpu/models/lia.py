@@ -31,8 +31,8 @@ from e4s2024_tpu.models.stylegan2 import (
     ModulatedConv,
     ResBlock,
     StyledConv,
-    ToRGB,
 )
+from e4s2024_tpu.ops.fused_act import fused_leaky_relu
 from e4s2024_tpu.models.tpsmm import grid_sample_2d
 from e4s2024_tpu.ops.upfirdn import make_kernel, upsample_2x
 
@@ -116,6 +116,28 @@ class Direction(nn.Module):
         return alpha @ q.T
 
 
+class LIAToRGB(nn.Module):
+    """LIA's ToRGB (styledecoder.py:374): UNLIKE StyleGAN2's, it is not
+    modulated — an activated equalized 1x1 conv (ConvLayer => EqualConv2d +
+    FusedLeakyReLU) plus a standalone bias, no style input."""
+
+    upsample: bool = True
+    blur_taps: tuple = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        out = EqualConv2d(3, 1, use_bias=False, name="conv")(x)
+        act_bias = self.param("act_bias", nn.initializers.zeros, (3,))
+        out = fused_leaky_relu(out, act_bias)
+        bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
+        out = out + bias
+        if skip is not None:
+            skip = upsample_2x(skip, jnp.asarray(
+                make_kernel(list(self.blur_taps))))
+            out = out + skip
+        return out
+
+
 class ToFlow(nn.Module):
     """Per-scale warp head (styledecoder.py:395): a 1x1 modulated conv
     predicts (dx, dy, mask); the encoder feature is warped and blended with
@@ -186,14 +208,14 @@ class LIASynthesis(nn.Module):
             out = StyledConv(ch[2 ** r], 3,
                              name=f"convs_{2 * j + 1}")(out, latent)
             to_flow = ToFlow(name=f"to_flows_{j}")
-            to_rgb = ToRGB(upsample=j > 0, name=f"to_rgbs_{j}")
+            to_rgb = LIAToRGB(upsample=j > 0, name=f"to_rgbs_{j}")
             if out.shape[1] == 8:
                 out_warp, out, skip_flow = to_flow(out, latent, feats[j])
-                skip = to_rgb(out_warp, latent)
+                skip = to_rgb(out_warp)
             else:
                 out_warp, out, skip_flow = to_flow(out, latent, feats[j],
                                                    skip_flow)
-                skip = to_rgb(out_warp, latent, skip=skip)
+                skip = to_rgb(out_warp, skip=skip)
         return skip
 
 

@@ -82,6 +82,118 @@ def install_torchvision_stub():
 
     ops_m.deform_conv2d = _no_deform
     _utils.IntermediateLayerGetter = IntermediateLayerGetter
+
+    # canonical torchvision ResNet (same module/param names and forward as
+    # torchvision/models/resnet.py, the documented public arch) — needed by
+    # TPSMM's KPDetector (models.resnet18) and DaGAN's monodepth2 encoder
+    # (models.ResNet subclass + models.resnet.BasicBlock/Bottleneck)
+    import torch.nn as tnn
+
+    class BasicBlock(tnn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class Bottleneck(tnn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(tnn.Module):
+        def __init__(self, block, layers, num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+            self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+            self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512 * block.expansion, num_classes)
+
+        def _make_layer(self, block, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = tnn.Sequential(
+                    tnn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                               stride, bias=False),
+                    tnn.BatchNorm2d(planes * block.expansion))
+            layers = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * block.expansion
+            layers += [block(self.inplanes, planes) for _ in range(1, blocks)]
+            return tnn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = torch_flatten_helper(self.avgpool(x))
+            return self.fc(x)
+
+    import torch as _torch
+
+    def torch_flatten_helper(x):
+        return _torch.flatten(x, 1)
+
+    resnet_m = types.ModuleType("torchvision.models.resnet")
+    resnet_m.BasicBlock = BasicBlock
+    resnet_m.Bottleneck = Bottleneck
+    resnet_m.ResNet = ResNet
+    resnet_m.model_urls = {}
+
+    def _mk(block, layers):
+        def ctor(pretrained=False, **kw):
+            assert not pretrained, "no weights in this environment"
+            return ResNet(block, layers, **kw)
+        return ctor
+
+    resnet_m.resnet18 = _mk(BasicBlock, [2, 2, 2, 2])
+    resnet_m.resnet34 = _mk(BasicBlock, [3, 4, 6, 3])
+    resnet_m.resnet50 = _mk(Bottleneck, [3, 4, 6, 3])
+    resnet_m.resnet101 = _mk(Bottleneck, [3, 4, 23, 3])
+    resnet_m.resnet152 = _mk(Bottleneck, [3, 8, 36, 3])
+    models_m.resnet = resnet_m
+    models_m.ResNet = ResNet
+    for n in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
+        setattr(models_m, n, getattr(resnet_m, n))
+    sys.modules["torchvision.models.resnet"] = resnet_m
     tv.models = models_m
     tv.transforms = transforms
     tv.ops = ops_m

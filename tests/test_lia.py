@@ -99,9 +99,10 @@ def test_converter_structure(rng):
         sd[f"{p}.activate.bias"] = torch.zeros(co).numpy()
 
     def to_rgb(p, ci):
-        sd[f"{p}.conv.weight"] = (t(1, 3, ci, 1, 1) * 0.1).numpy()
-        sd[f"{p}.conv.modulation.weight"] = t(ci, 512).numpy()
-        sd[f"{p}.conv.modulation.bias"] = torch.ones(ci).numpy()
+        # LIA's ToRGB is UNmodulated (styledecoder.py:374): ConvLayer
+        # [EqualConv2d, FusedLeakyReLU] + standalone (1, 3, 1, 1) bias
+        sd[f"{p}.conv.0.weight"] = (t(3, ci, 1, 1) * 0.1).numpy()
+        sd[f"{p}.conv.1.bias"] = torch.zeros(3).numpy()
         sd[f"{p}.bias"] = torch.zeros(1, 3, 1, 1).numpy()
 
     sd["dec.direction.weight"] = t(512, motion).numpy()

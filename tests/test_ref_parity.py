@@ -722,3 +722,153 @@ def test_codeformer_forward_parity():
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(img).transpose(0, 3, 1, 2),
                                ref_img.numpy(), atol=5e-3, rtol=1e-3)
+
+
+# -------------------------------------------------------------------- TPSMM
+
+
+@pytest.mark.slow
+def test_tpsmm_pipeline_parity():
+    """TPSMM kp detector (torchvision resnet18 head) + TPS dense motion +
+    inpainting network at the vox config, full standard-mode drive
+    (demo.py:67 make_animation) vs TPSMMDriver through convert_tpsmm."""
+    from swap_face_fine.TPSMM.modules.keypoint_detector import (
+        KPDetector as TorchKP,
+    )
+    from swap_face_fine.TPSMM.modules.dense_motion import (
+        DenseMotionNetwork as TorchDM,
+    )
+    from swap_face_fine.TPSMM.modules.inpainting_network import (
+        InpaintingNetwork as TorchInp,
+    )
+
+    from e4s2024_tpu.convert.torch_loader import convert_tpsmm
+    from e4s2024_tpu.models.tpsmm import TPSMMDriver
+
+    torch.manual_seed(48)
+    kp = TorchKP(num_tps=10).eval()
+    dm = TorchDM(block_expansion=64, num_blocks=5, max_features=1024,
+                 num_tps=10, num_channels=3, scale_factor=0.25, bg=False,
+                 multi_mask=True, kp_variance=0.01).eval()
+    inp = TorchInp(num_channels=3, block_expansion=64, max_features=512,
+                   num_down_blocks=3, multi_mask=True).eval()
+    for net, seed in ((kp, 49), (dm, 50), (inp, 51)):
+        _ref_compat.randomize_bn_stats(net, seed)
+    params = convert_tpsmm({
+        "kp_detector": _ref_compat.to_numpy_sd(kp),
+        "dense_motion_network": _ref_compat.to_numpy_sd(dm),
+        "inpainting_network": _ref_compat.to_numpy_sd(inp),
+    })
+
+    rng = np.random.default_rng(52)
+    src = rng.random((1, 256, 256, 3)).astype(np.float32)
+    drv = rng.random((1, 256, 256, 3)).astype(np.float32)
+    ts, td = (torch.from_numpy(v.transpose(0, 3, 1, 2)) for v in (src, drv))
+    with torch.no_grad():
+        kp_s, kp_d = kp(ts), kp(td)
+        dense = dm(ts, kp_d, kp_s, bg_param=None, dropout_flag=False)
+        ref = inp(ts, dense)["prediction"]
+
+    driver = TPSMMDriver(params)
+    ours = driver(jnp.asarray(src), jnp.asarray(drv))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=2e-3, rtol=1e-3)
+
+
+# -------------------------------------------------------------------- DaGAN
+
+
+@pytest.mark.slow
+def test_dagan_pipeline_parity():
+    """DaGAN monodepth2 resnet50 depth net + depth-augmented kp detector +
+    depth-aware generator at the vox-adv config, absolute-kp drive
+    (drive_demo.py:59 make_animation with relative/adapt off) vs DaGANDriver
+    through convert_dagan."""
+    from swap_face_fine.DaGAN import depth as dagan_depth
+    from swap_face_fine.DaGAN.modules.keypoint_detector import (
+        KPDetector as TorchKP,
+    )
+    from swap_face_fine.DaGAN.modules.generator import (
+        DepthAwareGenerator as TorchGen,
+    )
+
+    from e4s2024_tpu.convert.torch_loader import convert_dagan
+    from e4s2024_tpu.models.dagan import DaGANDriver
+
+    torch.manual_seed(53)
+    depth_encoder = dagan_depth.ResnetEncoder(50, False).eval()
+    depth_decoder = dagan_depth.DepthDecoder(
+        num_ch_enc=depth_encoder.num_ch_enc, scales=range(4)).eval()
+    kp = TorchKP(block_expansion=32, num_kp=15, num_channels=4,
+                 max_features=1024, num_blocks=5, temperature=0.1,
+                 estimate_jacobian=True, scale_factor=0.25).eval()
+    gen = TorchGen(num_channels=3, num_kp=15, block_expansion=64,
+                   max_features=512, num_down_blocks=2,
+                   num_bottleneck_blocks=6, estimate_occlusion_map=True,
+                   dense_motion_params={"block_expansion": 64,
+                                        "max_features": 1024,
+                                        "num_blocks": 5,
+                                        "scale_factor": 0.25},
+                   estimate_jacobian=True).eval()
+    for net, seed in ((depth_encoder, 54), (kp, 55), (gen, 56)):
+        _ref_compat.randomize_bn_stats(net, seed)
+    params = convert_dagan(_ref_compat.to_numpy_sd(gen),
+                           _ref_compat.to_numpy_sd(kp),
+                           _ref_compat.to_numpy_sd(depth_encoder),
+                           _ref_compat.to_numpy_sd(depth_decoder))
+
+    rng = np.random.default_rng(57)
+    src = rng.random((1, 256, 256, 3)).astype(np.float32)
+    drv = rng.random((1, 256, 256, 3)).astype(np.float32)
+    ts, td = (torch.from_numpy(v.transpose(0, 3, 1, 2)) for v in (src, drv))
+    with torch.no_grad():
+        d_s = depth_decoder(depth_encoder(ts))[("disp", 0)]
+        d_d = depth_decoder(depth_encoder(td))[("disp", 0)]
+        kp_s = kp(torch.cat((ts, d_s), 1))
+        kp_d = kp(torch.cat((td, d_d), 1))
+        ref = gen(ts, kp_d, kp_s, d_s, d_d)["prediction"]
+
+    driver = DaGANDriver(params)
+    ours = driver(jnp.asarray(src), jnp.asarray(drv))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=2e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------- LIA
+
+@pytest.mark.slow
+def test_lia_pipeline_parity():
+    """LIA Generator (encoder + styled synthesis with flow warps) at the
+    vox-256 config, online mode (run_demo.py:109: h_start = source motion)
+    vs LIADriver through convert_lia."""
+    from swap_face_fine.LIA.networks import styledecoder
+    from swap_face_fine.LIA.networks.generator import Generator as TorchLIA
+
+    from e4s2024_tpu.convert.torch_loader import convert_lia
+    from e4s2024_tpu.models.lia import LIADriver
+
+    # LIA's NoiseInjection draws fresh randn on every forward (noise=None
+    # has no stored-buffer path); zero it so the oracle is deterministic —
+    # matching our synthesis, which is deliberately noise-free
+    styledecoder.NoiseInjection.forward = lambda self, image, noise=None: image
+
+    torch.manual_seed(58)
+    tnet = TorchLIA(size=256, style_dim=512, motion_dim=20,
+                    channel_multiplier=1).eval()
+    params = convert_lia(_ref_compat.to_numpy_sd(tnet), size=256)
+
+    rng = np.random.default_rng(59)
+    src = rng.random((1, 256, 256, 3)).astype(np.float32) * 2.0 - 1.0
+    drv = rng.random((1, 256, 256, 3)).astype(np.float32) * 2.0 - 1.0
+    ts, td = (torch.from_numpy(v.transpose(0, 3, 1, 2)) for v in (src, drv))
+    with torch.no_grad():
+        h_start = tnet.enc.enc_motion(ts)
+        ref = tnet(ts, td, h_start)
+
+    driver = LIADriver(params)
+    ours = driver(jnp.asarray(src), jnp.asarray(drv))
+    got = np.asarray(ours).transpose(0, 3, 1, 2)
+    # a couple of warp-boundary pixels land on grid_sample cell edges where
+    # torch/XLA tie-break differently; everything else matches to ~1e-4
+    np.testing.assert_allclose(got, ref.numpy(), atol=5e-3, rtol=1e-3)
+    assert np.abs(got - ref.numpy()).mean() < 2e-4
