@@ -194,6 +194,41 @@ def install_torchvision_stub():
     for n in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
         setattr(models_m, n, getattr(resnet_m, n))
     sys.modules["torchvision.models.resnet"] = resnet_m
+
+    # canonical torchvision alexnet/vgg16 feature stacks (the documented
+    # public layouts) — used by the LPIPS net (criteria/lpips/networks.py:81)
+    # and the style loss (criteria/style_loss.py:86). pretrained is accepted
+    # and ignored: there is no network access; converter parity only needs
+    # the layout, not ImageNet values.
+    def alexnet(pretrained=False, **kw):
+        m = tnn.Module()
+        m.features = tnn.Sequential(
+            tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(inplace=True),
+            tnn.MaxPool2d(3, 2),
+            tnn.Conv2d(64, 192, 5, 1, 2), tnn.ReLU(inplace=True),
+            tnn.MaxPool2d(3, 2),
+            tnn.Conv2d(192, 384, 3, 1, 1), tnn.ReLU(inplace=True),
+            tnn.Conv2d(384, 256, 3, 1, 1), tnn.ReLU(inplace=True),
+            tnn.Conv2d(256, 256, 3, 1, 1), tnn.ReLU(inplace=True),
+            tnn.MaxPool2d(3, 2))
+        return m
+
+    def vgg16(pretrained=False, **kw):
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, cin = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(cin, v, 3, 1, 1), tnn.ReLU(inplace=True)]
+                cin = v
+        m = tnn.Module()
+        m.features = tnn.Sequential(*layers)
+        return m
+
+    models_m.alexnet = alexnet
+    models_m.vgg16 = vgg16
     tv.models = models_m
     tv.transforms = transforms
     tv.ops = ops_m

@@ -872,3 +872,66 @@ def test_lia_pipeline_parity():
     # torch/XLA tie-break differently; everything else matches to ~1e-4
     np.testing.assert_allclose(got, ref.numpy(), atol=5e-3, rtol=1e-3)
     assert np.abs(got - ref.numpy()).mean() < 2e-4
+
+
+# ------------------------------------------------------- LPIPS + VGG16 taps
+
+
+@pytest.mark.slow
+def test_lpips_forward_parity(monkeypatch):
+    """criteria/lpips LPIPS (alex flavor) vs our LPIPS through convert_lpips.
+    The official lin weights download is stubbed with random positive
+    weights — layout parity is what the converter must get right."""
+    import criteria.lpips.lpips as ref_lpips_mod
+
+    from e4s2024_tpu.convert.torch_loader import convert_lpips
+    from e4s2024_tpu.models.lpips import LPIPS
+
+    torch.manual_seed(60)
+    chans = (64, 192, 384, 256, 256)
+    lin_sd = {f"{i}.1.weight": torch.rand(1, c, 1, 1) for i, c in
+              enumerate(chans)}
+    monkeypatch.setattr(ref_lpips_mod, "get_state_dict",
+                        lambda *a, **k: {k2: v.clone()
+                                         for k2, v in lin_sd.items()})
+    tnet = ref_lpips_mod.LPIPS(net_type="alex").eval()
+
+    alex_sd = {k.replace("net.layers.", "features."): v
+               for k, v in _ref_compat.to_numpy_sd(tnet).items()
+               if k.startswith("net.layers.")}
+    params = convert_lpips(alex_sd,
+                           {k: v.numpy() for k, v in lin_sd.items()})
+
+    rng = np.random.default_rng(61)
+    x = rng.random((2, 64, 64, 3)).astype(np.float32) * 2.0 - 1.0
+    y = rng.random((2, 64, 64, 3)).astype(np.float32) * 2.0 - 1.0
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(y.transpose(0, 3, 1, 2)))
+    ours = LPIPS().apply({"params": params}, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_vgg16_activations_parity():
+    """criteria/style_loss.py:83 VGG16_Activations (style-Gram feature taps)
+    vs VGG16Features through convert_vgg16 at the loss's [3, 8, 15, 22]."""
+    from criteria.style_loss import VGG16_Activations
+
+    from e4s2024_tpu.convert.torch_loader import convert_vgg16
+    from e4s2024_tpu.models.vgg import VGG16Features
+
+    torch.manual_seed(62)
+    taps = (3, 8, 15, 22)
+    tnet = VGG16_Activations(list(taps)).eval()
+    params = convert_vgg16(_ref_compat.to_numpy_sd(tnet))
+
+    rng = np.random.default_rng(63)
+    x = rng.random((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = VGG16Features(taps=taps).apply({"params": params}, jnp.asarray(x))
+    assert len(ours) == len(ref) == 4
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2),
+                                   r.numpy(), atol=5e-4, rtol=1e-3)
