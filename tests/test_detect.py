@@ -41,51 +41,12 @@ REF = "/root/reference"
 
 
 def _install_torchvision_stub():
-    """The reference retinaface module imports torchvision only for
-    models._utils.IntermediateLayerGetter; provide that one class."""
-    if "torchvision" in sys.modules:
-        return
-    import torch.nn as nn
+    """Delegate to the shared superset stub (tests/_ref_compat.py) so suite
+    ordering can't leave a narrower torchvision in sys.modules for the other
+    parity tests (resnet/alexnet/vgg16 consumers)."""
+    from tests import _ref_compat
 
-    class IntermediateLayerGetter(nn.ModuleDict):
-        def __init__(self, model, return_layers):
-            rl = {str(k): str(v) for k, v in return_layers.items()}
-            remaining = dict(rl)
-            layers = {}
-            for name, module in model.named_children():
-                layers[name] = module
-                if name in remaining:
-                    del remaining[name]
-                if not remaining:
-                    break
-            super().__init__(layers)
-            self.return_layers = rl
-
-        def forward(self, x):
-            out = {}
-            for name, module in self.items():
-                x = module(x)
-                if name in self.return_layers:
-                    out[self.return_layers[name]] = x
-            return out
-
-    tv = types.ModuleType("torchvision")
-    models = types.ModuleType("torchvision.models")
-    _utils = types.ModuleType("torchvision.models._utils")
-    detection = types.ModuleType("torchvision.models.detection")
-    backbone_utils = types.ModuleType(
-        "torchvision.models.detection.backbone_utils")
-    _utils.IntermediateLayerGetter = IntermediateLayerGetter
-    tv.models = models
-    models._utils = _utils
-    models.detection = detection
-    detection.backbone_utils = backbone_utils
-    for name, mod in [("torchvision", tv), ("torchvision.models", models),
-                      ("torchvision.models._utils", _utils),
-                      ("torchvision.models.detection", detection),
-                      ("torchvision.models.detection.backbone_utils",
-                       backbone_utils)]:
-        sys.modules[name] = mod
+    _ref_compat.install_torchvision_stub()
 
 
 @pytest.fixture(scope="module")
