@@ -184,12 +184,34 @@ def convert_encoder(sd: Mapping[str, np.ndarray], prefix: str = "") -> dict:
     return params
 
 
+def convert_encoder_sean(sd: Mapping[str, np.ndarray],
+                         prefix: str = "") -> dict:
+    """Map FSEncoder_SEAN (reference psp_encoders.py:238, the alternative
+    `fsencoder_type`; in_size=256 flavor per networks.py:62) onto
+    FSEncoderSEAN params. InstanceNorms are affine=False (no params)."""
+    p = prefix
+    return {
+        # model = [ReflPad, Conv(1), IN, LReLU, Conv(4), IN, LReLU, Conv(7),
+        #          IN, LReLU, ConvT(10), IN, LReLU]
+        "head": _conv(sd, f"{p}model.1"),
+        "down_0": _conv(sd, f"{p}model.4"),
+        "down_1": _conv(sd, f"{p}model.7"),
+        "up": _convt(sd, f"{p}model.10"),
+        "style_conv": _conv(sd, f"{p}style_module.1"),
+        "structure_0": _conv(sd, f"{p}structure_module.0"),
+        "structure_1": _conv(sd, f"{p}structure_module.3"),
+        "structure_2": _conv(sd, f"{p}structure_module.6"),
+    }
+
+
 def convert_rgi(sd: Mapping[str, np.ndarray]) -> dict:
     """Map a full E4S Net3 checkpoint (reference networks.py:51; saved as
     {state_dict, latent_avg, ...}, coach.py:544-568) onto RGINet variables."""
     sd = strip_module_prefix(sd)
+    sean = "encoder.model.1.weight" in sd  # SEAN layout (networks.py:62)
     params: dict[str, Any] = {
-        "encoder": convert_encoder(sd, "encoder."),
+        "encoder": (convert_encoder_sean(sd, "encoder.") if sean
+                    else convert_encoder(sd, "encoder.")),
         "generator": convert_generator(sd, "G."),
     }
     i = 0

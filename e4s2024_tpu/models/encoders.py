@@ -176,9 +176,12 @@ class FSEncoderSEAN(nn.Module):
             h = nn.Conv(self.ngf * mult * 2, (3, 3), strides=2, padding=1,
                         name=f"down_{i}")(h)
             h = lrelu(instance_norm(h))
-        # upsample back to 128^2 (psp_encoders.py:267-272)
+        # upsample back to 128^2 (psp_encoders.py:267-272); padding (1, 2)
+        # replicates torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1)
+        # exactly (lo = k-1-p, hi = k-1-p+op) with the converter-flipped
+        # kernel
         h = nn.ConvTranspose(self.ngf * 8, (3, 3), strides=(2, 2),
-                             name="up")(h)
+                             padding=((1, 2), (1, 2)), name="up")(h)
         h = lrelu(instance_norm(h))
 
         codes = jnp.tanh(refl_conv(h, self.output_nc, 3, "style_conv"))

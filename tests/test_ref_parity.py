@@ -935,3 +935,53 @@ def test_vgg16_activations_parity():
     for o, r in zip(ours, ref):
         np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2),
                                    r.numpy(), atol=5e-4, rtol=1e-3)
+
+
+# --------------------------------------------------- Net3 SEAN-encoder mode
+
+
+@pytest.mark.slow
+def test_net3_sean_encoder_parity():
+    """Net3 with fsencoder_type='sean' (networks.py:62: FSEncoder_SEAN
+    in_size=256 flavor) vs RGINet(fsencoder_type='sean') through
+    convert_rgi — style vectors and structure feats."""
+    from argparse import Namespace
+
+    from models.networks import Net3
+
+    from e4s2024_tpu.convert.torch_loader import convert_rgi
+    from e4s2024_tpu.models.rgi import RGINet
+
+    opts = Namespace(fsencoder_type="sean", num_seg_cls=12,
+                     remaining_layer_idx=13, out_size=256, train_G=False,
+                     n_styles=14, input_nc=3, start_from_latent_avg=True,
+                     learn_in_w=False)
+    torch.manual_seed(64)
+    net = Net3(opts).eval()
+    latent_avg = torch.randn(14, 512)
+    net.latent_avg = latent_avg
+    sd = _ref_compat.to_numpy_sd(net)
+    sd["latent_avg"] = latent_avg.numpy()
+    variables = convert_rgi(sd)
+
+    rgi = RGINet(num_seg_cls=12, out_size=256, remaining_layer_idx=13,
+                 fsencoder_type="sean")
+
+    rng = np.random.default_rng(65)
+    img = (rng.random((1, 256, 256, 3)).astype(np.float32)) * 2.0 - 1.0
+    base = rng.integers(0, 12, (1, 16, 16))
+    labels = np.repeat(np.repeat(base, 16, 1), 16, 2)
+    onehot = np.eye(12, dtype=np.float32)[labels]
+
+    with torch.no_grad():
+        sv_t, feats_t = net.get_style_vectors(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(onehot.transpose(0, 3, 1, 2)))
+
+    sv_j, feats_j = rgi.apply(variables, jnp.asarray(img),
+                              jnp.asarray(onehot),
+                              method=RGINet.get_style_vectors)
+    np.testing.assert_allclose(np.asarray(sv_j), sv_t.numpy(),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(feats_j).transpose(0, 3, 1, 2),
+                               feats_t.numpy(), atol=3e-4, rtol=1e-3)
