@@ -94,11 +94,38 @@ def main():
         dt = time.perf_counter() - t0
         best = max(best, iters / dt)
 
+    # batched multi-pair throughput: B pairs per program call amortizes the
+    # per-dispatch floor (the swap program is batch-polymorphic); the
+    # headline metric stays single-pair for round-over-round comparability
+    B = 8
+    ab = jnp.asarray((rng.random((B, size, size, 3)) * 255).astype(np.uint8))
+    bb = jnp.asarray((rng.random((B, size, size, 3)) * 255).astype(np.uint8))
+    batched = 0.0
+    try:
+        for attempt in range(2):  # compile w/ one retry
+            try:
+                np.asarray(swapper.swap_aligned(ab, bb)["image"].ravel()[0])
+                break
+            except Exception:
+                if attempt:
+                    raise
+                time.sleep(10)
+        for _ in range(3):
+            iters = 6
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = swapper.swap_aligned(ab, bb)
+            _ = np.asarray(out["image"].ravel()[0])
+            batched = max(batched, B * iters / (time.perf_counter() - t0))
+    except Exception:
+        batched = 0.0  # batched compile unavailable; headline unaffected
+
     print(json.dumps({
         "metric": "512px_full_swaps_per_sec_per_chip",
         "value": round(best, 3),
         "unit": "swaps/s",
         "vs_baseline": round(best / 50.0, 3),
+        "detail": {"batched_b8_swaps_per_sec": round(batched, 3)},
     }))
 
 
