@@ -3,10 +3,10 @@ main driver (:966) as a CLI.
 
 Checkpoints load either from torch files (converted on the fly via
 e4s2024_tpu.convert) or from orbax directories saved with
-`utils.checkpoint.save_zoo`. Landmark detection is pluggable: pass
-`--landmarks-json` with precomputed 68-point landmarks (the reference uses
-dlib/face-alignment, which this environment does not ship), or `--aligned`
-when both inputs are already FFHQ-aligned crops.
+`utils.checkpoint.save_zoo`. Landmark detection defaults to the
+in-framework RetinaFace+FAN stack (weights from $E4S_WEIGHTS or
+--weights-dir); `--landmarks-json` overrides with precomputed 68-point
+landmarks, and `--aligned` skips detection for FFHQ-aligned crops.
 
 Usage:
   python -m e4s2024_tpu.swap_cli --source s.png --target t.png --out o.png \
@@ -56,7 +56,11 @@ def main(argv=None):
                     help="inputs are already aligned crops (skip warping)")
     ap.add_argument("--landmarks-json", default=None,
                     help="json {path: [[x, y] * 68]} of precomputed "
-                         "landmarks for unaligned inputs")
+                         "landmarks for unaligned inputs (overrides the "
+                         "in-framework detector)")
+    ap.add_argument("--weights-dir", default=None,
+                    help="dir holding RetinaFace-mobile0.25.pth / 2DFAN4.pth "
+                         "for the default detector (else $E4S_WEIGHTS)")
     args = ap.parse_args(argv)
 
     from PIL import Image
@@ -99,9 +103,12 @@ def main(argv=None):
         result = swapper.swap_aligned(src[None], tgt[None])
         out = np.asarray(result["image"][0])
     else:
-        if landmark_fn is None:
-            raise SystemExit("unaligned inputs need --landmarks-json "
-                             "(or pass --aligned for pre-aligned crops)")
+        if landmark_fn is None and args.weights_dir:
+            from e4s2024_tpu.pipelines.detect import default_landmarker
+
+            swapper.landmark_fn = default_landmarker(args.weights_dir)
+        # otherwise FaceSwapper.swap falls back to the in-framework
+        # detector with $E4S_WEIGHTS (random weights + a warning if unset)
         out = swapper.swap(src, tgt)
 
     Image.fromarray(out).save(args.out)

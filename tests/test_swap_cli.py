@@ -47,17 +47,21 @@ def test_cli_aligned_swap(tmp_path, ckpts, rng):
     assert out.dtype == np.uint8
 
 
-def test_cli_unaligned_needs_landmarks(tmp_path, ckpts, rng):
+def test_cli_unaligned_uses_default_detector(tmp_path, ckpts, rng):
+    """Without --landmarks-json the CLI falls back to the in-framework
+    RetinaFace+FAN stack (random weights in tests -> runnable end-to-end,
+    landmarks meaningless), so unaligned inputs swap hookless."""
     img = (rng.random((160, 160, 3)) * 255).astype(np.uint8)
     Image.fromarray(img).save(tmp_path / "s.png")
     Image.fromarray(img).save(tmp_path / "t.png")
-    with pytest.raises(SystemExit, match="landmarks"):
-        main(["--source", str(tmp_path / "s.png"),
-              "--target", str(tmp_path / "t.png"),
-              "--out", str(tmp_path / "o.png"),
-              "--rgi", str(ckpts / "rgi"),
-              "--bisenet", str(ckpts / "bisenet"),
-              "--size", "128", "--remaining_layer_idx", "9"])
+    main(["--source", str(tmp_path / "s.png"),
+          "--target", str(tmp_path / "t.png"),
+          "--out", str(tmp_path / "o.png"),
+          "--rgi", str(ckpts / "rgi"),
+          "--bisenet", str(ckpts / "bisenet"),
+          "--size", "128", "--remaining_layer_idx", "9"])
+    out = np.asarray(Image.open(tmp_path / "o.png"))
+    assert out.shape == (160, 160, 3)
 
 
 def test_cli_landmarks_json(tmp_path, ckpts, rng):
