@@ -37,13 +37,38 @@ def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
     else:
         extras, sd = {}, obj
     out = {}
-    for k, v in sd.items():
-        if hasattr(v, "detach"):
-            out[k] = v.detach().cpu().numpy()
+
+    def flatten(prefix, node):
+        # basicsr/FOMM-style checkpoints nest state dicts ({'params_ema':
+        # {...}}, {'generator': {...}, 'kp_detector': {...}}); flatten with
+        # dotted prefixes so converters can unwrap by name instead of the
+        # nested dicts being silently dropped
+        for k, v in node.items():
+            if hasattr(v, "detach"):
+                out[f"{prefix}{k}"] = v.detach().cpu().numpy()
+            elif isinstance(v, dict):
+                flatten(f"{prefix}{k}.", v)
+
+    flatten("", sd)
     for k, v in extras.items():
         if hasattr(v, "detach"):
             out[f"__extra__.{k}"] = v.detach().cpu().numpy()
+        elif isinstance(v, dict):
+            flatten(f"__extra__.{k}.", v)
     return out
+
+
+def unwrap_envelope(sd: Mapping[str, np.ndarray],
+                    *names: str) -> dict[str, np.ndarray]:
+    """Strip a checkpoint envelope prefix ('params_ema.', 'params.',
+    'generator.', ...) if present — the flattened form of basicsr/FOMM-style
+    nested checkpoints (see load_torch_checkpoint). First matching name wins;
+    no-op when none match."""
+    for name in names:
+        p = name + "."
+        if any(k.startswith(p) for k in sd):
+            return {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+    return dict(sd)
 
 
 def strip_module_prefix(sd: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -436,9 +461,9 @@ def convert_gpen(sd: Mapping[str, np.ndarray]) -> dict:
 
 def convert_rrdbnet(sd: Mapping[str, np.ndarray]) -> dict:
     """Map a RealESRGAN RRDBNet checkpoint (reference realesr/image_infer.py:39)
-    onto e4s2024_tpu RRDBNet params. Handles the 'params_ema'/'params' nesting
-    convention of basicsr checkpoints upstream of this call."""
-    sd = strip_module_prefix(sd)
+    onto e4s2024_tpu RRDBNet params. Unwraps the 'params_ema'/'params'
+    envelope of basicsr checkpoints."""
+    sd = unwrap_envelope(strip_module_prefix(sd), "params_ema", "params")
     params: dict[str, Any] = {}
     for k in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr",
               "conv_last"):
@@ -573,12 +598,13 @@ def _vq_block(sd, tname, kind, fname):
 
 def convert_codeformer(sd: Mapping[str, np.ndarray]) -> dict:
     """Map a CodeFormer checkpoint (reference archs/codeformer_arch.py:161)
-    onto e4s2024_tpu CodeFormer params."""
+    onto e4s2024_tpu CodeFormer params. Unwraps the 'params_ema' envelope
+    of the released codeformer.pth."""
     from e4s2024_tpu.models.codeformer import (
         encoder_plan, generator_plan, FUSE_ENCODER_BLOCK,
     )
 
-    sd = strip_module_prefix(sd)
+    sd = unwrap_envelope(strip_module_prefix(sd), "params_ema", "params")
     params: dict[str, Any] = {"encoder": {}, "generator": {}}
     for i, (kind, _) in enumerate(encoder_plan()):
         params["encoder"].update(
@@ -636,9 +662,9 @@ def _layernorm(sd, name):
 
 def convert_swinir(sd: Mapping[str, np.ndarray]) -> dict:
     """Map a SwinIR real_sr checkpoint (reference SwinIR/models/
-    network_swinir.py:618, 003_realSR_..._GAN.pth ['params_ema']) onto
-    e4s2024_tpu SwinIR params."""
-    sd = strip_module_prefix(sd)
+    network_swinir.py:618, 003_realSR_..._GAN.pth) onto e4s2024_tpu SwinIR
+    params. Unwraps the 'params_ema'/'params' envelope."""
+    sd = unwrap_envelope(strip_module_prefix(sd), "params_ema", "params")
     params: dict[str, Any] = {
         "conv_first": _conv(sd, "conv_first"),
         "patch_norm": _layernorm(sd, "patch_embed.norm"),
@@ -695,8 +721,9 @@ def convert_misf(sd: Mapping[str, np.ndarray]) -> dict:
 
     InstanceNorms are affine=False (no params); kernel_pred has none;
     kpn_model.conv_final exists in the torch module but is unused by its
-    forward, so it is dropped."""
-    sd = strip_module_prefix(sd)
+    forward, so it is dropped. Unwraps the {'generator': ...} envelope of
+    the released MISF checkpoint."""
+    sd = unwrap_envelope(strip_module_prefix(sd), "generator")
     params: dict[str, Any] = {
         "encoder0": _conv(sd, "encoder0.1"),
         "encoder1": _conv(sd, "encoder1.0"),
@@ -747,6 +774,18 @@ def _tps_hourglass(sd, name, num_blocks):
     return params
 
 
+def _nest_flat_ckpt(ckpt):
+    """Accept either {'net': {param: arr}} nested checkpoints or the
+    flattened {'net.param': arr} form produced by load_torch_checkpoint."""
+    if any(isinstance(v, Mapping) for v in ckpt.values()):
+        return ckpt
+    nested: dict[str, dict] = {}
+    for k, v in ckpt.items():
+        head, _, rest = k.partition(".")
+        nested.setdefault(head, {})[rest] = v
+    return nested
+
+
 def convert_tpsmm(ckpt: Mapping[str, Mapping[str, np.ndarray]],
                   num_blocks: int = 5, num_down_blocks: int = 3,
                   up_nums: int = 2, occlusion_num: int = 4) -> dict:
@@ -756,7 +795,9 @@ def convert_tpsmm(ckpt: Mapping[str, Mapping[str, np.ndarray]],
     The torch module registers inpainting up_blocks/resblocks already
     reversed (inpainting_network.py:33-34), so indices map 1:1. The
     anti-alias kernel is a fixed buffer (rebuilt, not loaded); avd_network
-    is only used in 'avd' animate mode and is skipped."""
+    is only used in 'avd' animate mode and is skipped. Accepts the nested
+    or load_torch_checkpoint-flattened form."""
+    ckpt = _nest_flat_ckpt(ckpt)
     kp_sd = strip_module_prefix(ckpt["kp_detector"])
     dm_sd = strip_module_prefix(ckpt["dense_motion_network"])
     in_sd = strip_module_prefix(ckpt["inpainting_network"])
@@ -1137,7 +1178,9 @@ def convert_facevid2vid_generator(sd: Mapping[str, np.ndarray]) -> dict:
 
 def convert_facevid2vid(ckpt: Mapping[str, Mapping[str, np.ndarray]]) -> dict:
     """Full 00000189-checkpoint.pth.tar (reference drive_demo.py:21-58): keys
-    'generator', 'kp_detector', 'he_estimator' -> FaceVid2VidDriver params."""
+    'generator', 'kp_detector', 'he_estimator' -> FaceVid2VidDriver params.
+    Accepts the nested or load_torch_checkpoint-flattened form."""
+    ckpt = _nest_flat_ckpt(ckpt)
     return {
         "kp_detector": convert_facevid2vid_kp(dict(ckpt["kp_detector"])),
         "he_estimator": convert_facevid2vid_he(dict(ckpt["he_estimator"])),

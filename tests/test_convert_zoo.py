@@ -327,3 +327,62 @@ def test_vgg16_roundtrip():
         _conv_to_torch(sd, f"features.{idx}", p)
     got = convert_vgg16(sd)
     _trees_equal(got, params)
+
+
+def test_checkpoint_envelopes(tmp_path):
+    """Real released files wrap weights in envelopes ({'params_ema': {...}}
+    basicsr-style, {'generator': {...}, 'kp_detector': {...}} FOMM-style).
+    load_torch_checkpoint must flatten them (not silently drop the nested
+    dicts) and the converters must unwrap them."""
+    torch = pytest.importorskip("torch")
+
+    from e4s2024_tpu.convert.torch_loader import (
+        convert_rrdbnet,
+        load_torch_checkpoint,
+    )
+    from e4s2024_tpu.models.rrdb import RRDBNet
+
+    tnet_sd = {}
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    # tiny RRDBNet(num_feat=8, num_block=1, num_grow=4) torch layout
+    tnet_sd["conv_first.weight"] = t(8, 3, 3, 3)
+    tnet_sd["conv_first.bias"] = t(8)
+    for r in (1, 2, 3):
+        cin = 8
+        for c in range(1, 6):
+            cout = 4 if c < 5 else 8
+            tnet_sd[f"body.0.rdb{r}.conv{c}.weight"] = t(cout, cin, 3, 3)
+            tnet_sd[f"body.0.rdb{r}.conv{c}.bias"] = t(cout)
+            cin += 4 if c < 5 else 0
+            if c == 4:
+                cin = 8 + 4 * 4
+    for k in ("conv_body", "conv_up1", "conv_up2", "conv_hr"):
+        tnet_sd[f"{k}.weight"] = t(8, 8, 3, 3)
+        tnet_sd[f"{k}.bias"] = t(8)
+    tnet_sd["conv_last.weight"] = t(3, 8, 3, 3)
+    tnet_sd["conv_last.bias"] = t(3)
+
+    path = tmp_path / "realesr.pth"
+    torch.save({"params_ema": tnet_sd}, path)
+    flat = load_torch_checkpoint(str(path))
+    assert flat, "flattened checkpoint must not be empty"
+    params = convert_rrdbnet(flat)
+
+    out = RRDBNet(num_feat=8, num_block=1, num_grow=4).apply(
+        {"params": params}, jnp.zeros((1, 8, 8, 3)))
+    assert out.shape == (1, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+    # FOMM-style nested file -> flattened -> re-nested by the converter
+    from e4s2024_tpu.convert.torch_loader import _nest_flat_ckpt
+
+    torch.save({"kp_detector": {"w": torch.ones(2)},
+                "generator": {"b": torch.zeros(1)}}, tmp_path / "fomm.pth")
+    flat2 = load_torch_checkpoint(str(tmp_path / "fomm.pth"))
+    nested = _nest_flat_ckpt(flat2)
+    assert set(nested) == {"kp_detector", "generator"}
+    assert nested["kp_detector"]["w"].shape == (2,)
