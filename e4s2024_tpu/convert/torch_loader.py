@@ -967,7 +967,8 @@ def convert_lia(sd: Mapping[str, np.ndarray], size: int = 256) -> dict:
     Synthesis.forward and is dropped."""
     import math
 
-    sd = strip_module_prefix(sd)
+    # released vox.pt wraps the generator under 'gen' (run_demo.py:64)
+    sd = unwrap_envelope(strip_module_prefix(sd), "gen")
     # LIA's own FusedLeakyReLU stores bias as (1, C, 1, 1)
     # (networks/encoder.py:14, styledecoder.py:15) where the rosinality op
     # uses (C,); flatten those so the shared helpers apply. The standalone
