@@ -885,8 +885,11 @@ def convert_dagan(generator_sd: Mapping[str, np.ndarray],
     """Map DaGAN checkpoints (reference drive_demo.py:25/140: the main
     ckpt's 'generator'/'kp_detector' plus monodepth2 encoder.pth/depth.pth)
     onto DaGANDriver params. Anti-alias kernels are fixed buffers (rebuilt)."""
-    generator_sd = strip_module_prefix(generator_sd)
-    kp_sd = strip_module_prefix(kp_sd)
+    # the released vox ckpt holds both nets; passing its flattened form for
+    # either arg auto-unwraps (no-op for already-split state dicts)
+    generator_sd = unwrap_envelope(strip_module_prefix(generator_sd),
+                                   "generator")
+    kp_sd = unwrap_envelope(strip_module_prefix(kp_sd), "kp_detector")
     depth_enc_sd = strip_module_prefix(depth_enc_sd)
     depth_dec_sd = strip_module_prefix(depth_dec_sd)
 
