@@ -463,7 +463,7 @@ def convert_rrdbnet(sd: Mapping[str, np.ndarray]) -> dict:
     """Map a RealESRGAN RRDBNet checkpoint (reference realesr/image_infer.py:39)
     onto e4s2024_tpu RRDBNet params. Unwraps the 'params_ema'/'params'
     envelope of basicsr checkpoints."""
-    sd = unwrap_envelope(strip_module_prefix(sd), "params_ema", "params")
+    sd = strip_module_prefix(unwrap_envelope(sd, "params_ema", "params"))
     params: dict[str, Any] = {}
     for k in ("conv_first", "conv_body", "conv_up1", "conv_up2", "conv_hr",
               "conv_last"):
@@ -604,7 +604,7 @@ def convert_codeformer(sd: Mapping[str, np.ndarray]) -> dict:
         encoder_plan, generator_plan, FUSE_ENCODER_BLOCK,
     )
 
-    sd = unwrap_envelope(strip_module_prefix(sd), "params_ema", "params")
+    sd = strip_module_prefix(unwrap_envelope(sd, "params_ema", "params"))
     params: dict[str, Any] = {"encoder": {}, "generator": {}}
     for i, (kind, _) in enumerate(encoder_plan()):
         params["encoder"].update(
@@ -664,7 +664,7 @@ def convert_swinir(sd: Mapping[str, np.ndarray]) -> dict:
     """Map a SwinIR real_sr checkpoint (reference SwinIR/models/
     network_swinir.py:618, 003_realSR_..._GAN.pth) onto e4s2024_tpu SwinIR
     params. Unwraps the 'params_ema'/'params' envelope."""
-    sd = unwrap_envelope(strip_module_prefix(sd), "params_ema", "params")
+    sd = strip_module_prefix(unwrap_envelope(sd, "params_ema", "params"))
     params: dict[str, Any] = {
         "conv_first": _conv(sd, "conv_first"),
         "patch_norm": _layernorm(sd, "patch_embed.norm"),
@@ -723,7 +723,7 @@ def convert_misf(sd: Mapping[str, np.ndarray]) -> dict:
     kpn_model.conv_final exists in the torch module but is unused by its
     forward, so it is dropped. Unwraps the {'generator': ...} envelope of
     the released MISF checkpoint."""
-    sd = unwrap_envelope(strip_module_prefix(sd), "generator")
+    sd = strip_module_prefix(unwrap_envelope(sd, "generator"))
     params: dict[str, Any] = {
         "encoder0": _conv(sd, "encoder0.1"),
         "encoder1": _conv(sd, "encoder1.0"),
@@ -887,9 +887,9 @@ def convert_dagan(generator_sd: Mapping[str, np.ndarray],
     onto DaGANDriver params. Anti-alias kernels are fixed buffers (rebuilt)."""
     # the released vox ckpt holds both nets; passing its flattened form for
     # either arg auto-unwraps (no-op for already-split state dicts)
-    generator_sd = unwrap_envelope(strip_module_prefix(generator_sd),
-                                   "generator")
-    kp_sd = unwrap_envelope(strip_module_prefix(kp_sd), "kp_detector")
+    generator_sd = strip_module_prefix(
+        unwrap_envelope(generator_sd, "generator"))
+    kp_sd = strip_module_prefix(unwrap_envelope(kp_sd, "kp_detector"))
     depth_enc_sd = strip_module_prefix(depth_enc_sd)
     depth_dec_sd = strip_module_prefix(depth_dec_sd)
 
@@ -971,7 +971,7 @@ def convert_lia(sd: Mapping[str, np.ndarray], size: int = 256) -> dict:
     import math
 
     # released vox.pt wraps the generator under 'gen' (run_demo.py:64)
-    sd = unwrap_envelope(strip_module_prefix(sd), "gen")
+    sd = strip_module_prefix(unwrap_envelope(sd, "gen"))
     # LIA's own FusedLeakyReLU stores bias as (1, C, 1, 1)
     # (networks/encoder.py:14, styledecoder.py:15) where the rosinality op
     # uses (C,); flatten those so the shared helpers apply. The standalone

@@ -132,8 +132,9 @@ class LIAToRGB(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
         out = out + bias
         if skip is not None:
-            skip = upsample_2x(skip, jnp.asarray(
-                make_kernel(list(self.blur_taps))))
+            if self.upsample:
+                skip = upsample_2x(skip, jnp.asarray(
+                    make_kernel(list(self.blur_taps))))
             out = out + skip
         return out
 

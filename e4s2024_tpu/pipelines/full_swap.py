@@ -102,16 +102,16 @@ class FullFaceSwapPipeline:
         return fn(jnp.asarray(img255, jnp.float32)[None])[0]
 
     def _recolor_composite(self, rec, swapped255):
-        """Edge-aware composite of the 256^2 recolor onto the full-res swap
-        (reference :910-924). Traceable — shared by the staged and fused
-        paths."""
-        h = swapped255.shape[0]
+        """Edge-aware composite of the low-res recolor onto the full-res swap
+        (reference :910-924). Batched (B, h, h, 3) x (B, H, H, 3); traceable —
+        the ONE implementation shared by the staged and fused paths."""
+        h = swapped255.shape[1]
         rec = resize_bilinear(rec, (h, h))
+        swapped = jnp.asarray(swapped255, jnp.float32)
         # edge-aware blend: keep original high-frequency edges
-        edge = sobel_edge(jnp.asarray(swapped255[None], jnp.float32))
-        edge = jnp.clip(edge / 255.0, 0.0, 1.0)
-        out = blend_with_mask(rec[0], jnp.asarray(swapped255, jnp.float32),
-                              edge[0], up_ratio=self.cfg.blend_up_ratio)
+        edge = jnp.clip(sobel_edge(swapped) / 255.0, 0.0, 1.0)
+        out = blend_with_mask(rec, swapped, edge,
+                              up_ratio=self.cfg.blend_up_ratio)
         return jnp.clip(out, 0, 255)
 
     def _recolor(self, swapped255, target255, d_label19, t_label19):
@@ -127,7 +127,7 @@ class FullFaceSwapPipeline:
                 jnp.asarray(d_label19[None]), jnp.asarray(t_label19[None]))
             if self.comp.upscaler is not None and rec.shape[1] * 4 <= swapped255.shape[0]:
                 rec = self.comp.upscaler.upscale(rec)
-            return self._recolor_composite(rec, swapped255)
+            return self._recolor_composite(rec, swapped255[None])[0]
         # classical modes (host-side for idt/hist/mix)
         from e4s2024_tpu.ops.color import skin_color_transfer
 
@@ -136,14 +136,15 @@ class FullFaceSwapPipeline:
                                   cfg.ct_mode)
         return (np.asarray(out) * 255.0).astype(np.float32)
 
-    def _inpaint_composite(self, img255, out0, hole_mask):
+    def _inpaint_composite(self, img255, out, hole_mask):
         """Soft-eroded composite of the inpainted face into the hole
-        (reference :223-258). Traceable — shared by staged and fused paths."""
-        mask = jnp.asarray(hole_mask, jnp.float32)[None, ..., None]
-        mask = resize_bilinear(mask, img255.shape[:2])
+        (reference :223-258). Batched (B, H, H, 3) x (B, h, w); traceable —
+        the ONE implementation shared by the staged and fused paths."""
+        mask = jnp.asarray(hole_mask, jnp.float32)[..., None]
+        mask = resize_bilinear(mask, (img255.shape[1], img255.shape[2]))
         soft, _ = soft_erosion(mask)
-        blended = blend_with_mask(jnp.asarray(img255, jnp.float32), out0,
-                                  soft[0], 1.0)
+        blended = blend_with_mask(jnp.asarray(img255, jnp.float32), out,
+                                  soft, 1.0)
         return jnp.clip(blended, 0, 255)
 
     def _inpaint(self, img255: np.ndarray, hole_mask: np.ndarray):
@@ -152,7 +153,8 @@ class FullFaceSwapPipeline:
             return img255
         out = self.comp.inpainter.inpaint(
             jnp.asarray(img255[None], jnp.float32), jnp.asarray(hole_mask[None]))
-        return self._inpaint_composite(img255, out[0], hole_mask)
+        return self._inpaint_composite(img255[None], out,
+                                       hole_mask[None])[0]
 
     # ---------------- fused one-program path ----------------
 
@@ -192,7 +194,6 @@ class FullFaceSwapPipeline:
                 return None
 
         meta = sw._pack_meta
-        blend_up_ratio = cfg.blend_up_ratio
 
         def fused(sw_packed, enh_packed, rec_packed, up_packed, inp_packed,
                   src_u8, tgt_u8):
@@ -217,19 +218,11 @@ class FullFaceSwapPipeline:
                 if up is not None and rec_out.shape[1] * 4 <= h:
                     rec_out = jnp.clip(up._fwd(up_packed, rec_out) * 255.0,
                                        0, 255)
-                # batched form of _recolor_composite (same ops, same math)
-                rec_out = resize_bilinear(rec_out, (h, h))
-                edge = jnp.clip(sobel_edge(swapped) / 255.0, 0.0, 1.0)
-                swapped = jnp.clip(
-                    blend_with_mask(rec_out, swapped, edge, blend_up_ratio),
-                    0, 255)
+                swapped = self._recolor_composite(rec_out, swapped)
             if inp is not None:
                 out = inp._fwd(inp_packed, swapped, result["hole_mask"])
-                # batched form of _inpaint_composite
-                mask = result["hole_mask"].astype(jnp.float32)[..., None]
-                soft, _ = soft_erosion(resize_bilinear(mask, (h, h)))
-                swapped = jnp.clip(blend_with_mask(swapped, out, soft, 1.0),
-                                   0, 255)
+                swapped = self._inpaint_composite(swapped, out,
+                                                  result["hole_mask"])
             return jnp.clip(swapped, 0, 255).astype(jnp.uint8)
 
         fused_jit = jax.jit(fused)

@@ -49,10 +49,15 @@ def main(argv=None):
     if cfg.train.val_every:
         val_ds = FaceMaskDataset(root, mode="test",
                                  fraction=cfg.data.ds_frac, flip_p=0.0)
-        val_batches = val_ds.batches(
-            cfg.train.batch_size,
-            shard=(jax.process_index(), jax.process_count()),
-        )
+        # an undersized/missing test split would make batches() yield nothing
+        # and validate() spin forever; all hosts see the SAME unsharded val
+        # stream so the best-checkpoint gate can't diverge across processes
+        if len(val_ds) >= cfg.train.batch_size:
+            val_batches = val_ds.batches(cfg.train.batch_size)
+        else:
+            print(f"[train] test split has {len(val_ds)} images "
+                  f"(< batch_size {cfg.train.batch_size}); validation off",
+                  flush=True)
 
     # periodic checkpoints via fit (a callback closing over `state` would
     # save the stale initial pytree — fit sees the LIVE state)
