@@ -66,8 +66,13 @@ def editor_resynthesize(swapper, img255: np.ndarray,
     return np.asarray(jnp.clip((out[0] + 1.0) * 127.5, 0, 255)).astype(np.uint8)
 
 
-def build_gradio_app(swapper, video_pipeline=None):
-    """Gradio Blocks app: image swap + video swap with PTI controls."""
+def build_gradio_app(swapper, video_pipeline=None, full_pipeline=None):
+    """Gradio Blocks app: image swap + video swap with PTI controls.
+
+    `full_pipeline` (FullFaceSwapPipeline) upgrades the image tab to the
+    zoo-enhanced path (enhance/recolor/inpaint), as in the reference gradio
+    (gradio_swap.py:36 -> FaceSwap.face_swap_pipeline); either way raw
+    uploads are detected/aligned in-framework and pasted back."""
     try:
         import gradio as gr
     except ImportError as e:
@@ -77,10 +82,11 @@ def build_gradio_app(swapper, video_pipeline=None):
         ) from e
 
     def swap_image(source, target):
-        out = swapper.swap_aligned(
-            np.asarray(source, np.float32)[None],
-            np.asarray(target, np.float32)[None])
-        return np.asarray(out["image"][0]).astype(np.uint8)
+        src = np.asarray(source)
+        tgt = np.asarray(target)
+        if full_pipeline is not None:
+            return full_pipeline.swap_raw(src, tgt)
+        return swapper.swap(src, tgt)
 
     def swap_video(source, video, pti_steps, pti_lr, recolor_lambda):
         from e4s2024_tpu.video_io import extract_frames, write_video

@@ -258,6 +258,15 @@ class FullFaceSwapPipeline:
         return np.stack([self(s, t)["image"]
                          for s, t in zip(source_crops255, target_crops255)])
 
+    def swap_raw(self, source_img: np.ndarray,
+                 target_img: np.ndarray) -> np.ndarray:
+        """Raw-frame entry: detect/align (FaceSwapper's landmark stack), run
+        the zoo-enhanced swap on the crops, perspective paste-back — the
+        reference's full `FaceSwap.face_swap_pipeline` from unaligned images
+        (Face_swap_with_two_imgs.py:796)."""
+        return self.swapper.swap(source_img, target_img,
+                                 swap_fn=self.swap_batch)
+
     # ---------------- full pipeline ----------------
 
     def __call__(self, source_crop255: np.ndarray, target_crop255: np.ndarray,

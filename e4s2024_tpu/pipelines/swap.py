@@ -411,12 +411,15 @@ class FaceSwapper:
         [0, 255]; the swapped image comes back uint8."""
         return self._swap_jit(_as_u8(driven255), _as_u8(target255))
 
-    def swap(self, source_img: np.ndarray, target_img: np.ndarray) -> np.ndarray:
+    def swap(self, source_img: np.ndarray, target_img: np.ndarray,
+             swap_fn=None) -> np.ndarray:
         """Full swap with alignment + paste-back, standalone: uses the
         supplied `landmark_fn` or the in-framework detector stack.
 
         source/target: (H, W, 3) uint8 frames. Returns the target frame with
-        the swapped face pasted back (uint8)."""
+        the swapped face pasted back (uint8). `swap_fn` optionally replaces
+        the core aligned swap with another (B,S,S,3)->(B,S,S,3) uint8 swap —
+        e.g. FullFaceSwapPipeline.swap_batch for the zoo-enhanced path."""
         landmark_fn = self.ensure_landmark_fn()
         s = self.cfg.out_size
         crops, quads = [], []
@@ -429,8 +432,11 @@ class FaceSwapper:
             crops.append(crop[None])
             quads.append(quad)
 
-        result = self.swap_aligned(crops[0], crops[1])
-        swapped = result["image"][0].astype(jnp.float32)
+        if swap_fn is not None:
+            swapped = jnp.asarray(swap_fn(crops[0], crops[1])[0], jnp.float32)
+        else:
+            result = self.swap_aligned(crops[0], crops[1])
+            swapped = result["image"][0].astype(jnp.float32)
 
         coeffs = paste_back_coefficients(quads[1], s)
         projected = warp_perspective(swapped, jnp.asarray(coeffs),

@@ -191,3 +191,41 @@ def test_pipeline_optimize_w_perceptual(rng):
     tgt = (rng.random((64, 64, 3)) * 255).astype(np.float32)
     out = pipe(src, tgt)
     assert out["image"].shape == (64, 64, 3)
+
+
+@pytest.mark.slow
+def test_swap_raw_full_zoo(rng):
+    """Raw-frame entry for the zoo pipeline: detect/align -> zoo swap on
+    crops -> perspective paste-back (the reference's full
+    face_swap_pipeline from unaligned images). A stub landmark_fn keeps the
+    test deterministic and cheap."""
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+
+    # plausible 68-pt landmarks centered in a 160x160 frame
+    base = np.zeros((68, 2), np.float64)
+    base[:17] = np.stack([np.linspace(40, 120, 17), np.full(17, 110.0)], 1)
+    base[36:42] = [60, 70]
+    base[42:48] = [100, 70]
+    base[48:68] = [80, 100]
+    base[27:36] = [80, 85]
+    base[17:27] = np.stack([np.linspace(55, 105, 10), np.full(10, 60.0)], 1)
+
+    swapper = FaceSwapper(v, bise, cfg, landmark_fn=lambda img: base)
+    swapper.rgi = rgi
+    pipe = FullFaceSwapPipeline(swapper, SwapComponents(),
+                                FullSwapConfig(ct_mode="none"))
+    src = (rng.random((160, 160, 3)) * 255).astype(np.uint8)
+    tgt = (rng.random((160, 160, 3)) * 255).astype(np.uint8)
+    out = pipe.swap_raw(src, tgt)
+    assert out.shape == (160, 160, 3) and out.dtype == np.uint8
+    # the FFHQ quad from these landmarks covers most of the 160^2 frame, so
+    # the projected swap dominates the output; it must differ from a plain
+    # passthrough of the target
+    assert not np.array_equal(out, tgt)
