@@ -525,12 +525,24 @@ def rotation_matrix(yaw, pitch, roll):
     return jnp.einsum("bij,bjk,bkm->bim", pitch_m, yaw_m, roll_m)
 
 
-def keypoint_transformation(kp_canonical, he):
-    """(reference drive_demo.py:135-180, estimate_jacobian=False path)."""
+def keypoint_transformation(kp_canonical, he, *, yaw=None, pitch=None,
+                            roll=None):
+    """(reference drive_demo.py:135-180, estimate_jacobian=False path).
+
+    yaw/pitch/roll: optional free-view overrides in DEGREES (the reference's
+    free_view mode — set an angle to fix it, leave None to take it from the
+    head-pose estimate); e.g. yaw=0, pitch=0, roll=0 frontalizes."""
     kp = kp_canonical["value"]
-    rot = rotation_matrix(headpose_to_degree(he["yaw"]),
-                          headpose_to_degree(he["pitch"]),
-                          headpose_to_degree(he["roll"]))
+    b = kp.shape[0]
+
+    def angle(override, logits):
+        if override is None:
+            return headpose_to_degree(logits)
+        return jnp.full((b,), float(override), jnp.float32)
+
+    rot = rotation_matrix(angle(yaw, he["yaw"]),
+                          angle(pitch, he["pitch"]),
+                          angle(roll, he["roll"]))
     kp_rot = jnp.einsum("bmp,bkp->bkm", rot, kp)
     kp_t = kp_rot + he["t"][:, None, :]
     exp = he["exp"].reshape(he["exp"].shape[0], -1, 3)
@@ -591,3 +603,19 @@ class FaceVid2VidDriver:
             outs.append(self._gen_batch(source01, kp_canon, he_drv,
                                         kp_src["value"][0]))
         return jnp.concatenate(outs, axis=0)
+
+    def set_pose(self, source01: jnp.ndarray, *, yaw=0.0, pitch=0.0,
+                 roll=0.0) -> jnp.ndarray:
+        """Free-view re-pose (reference make_animation free_view mode,
+        drive_demo.py:182/202): re-render the source at fixed head-pose
+        angles in degrees, keeping its own expression/translation. Defaults
+        frontalize. Returns (1, 256, 256, 3) in [0, 1]."""
+        source01 = jnp.asarray(source01)
+        kp_canon = self._kp_fwd(source01)
+        he = self._he_fwd(source01)
+        kp_src = keypoint_transformation(kp_canon, he)
+        kp_drv = keypoint_transformation(kp_canon, he, yaw=yaw, pitch=pitch,
+                                         roll=roll)
+        return self.gen.apply(
+            {"params": self.params["generator"]}, source01, kp_drv,
+            kp_src)["prediction"]

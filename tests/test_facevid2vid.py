@@ -91,3 +91,36 @@ def test_drive_end_to_end_tiny(rng):
     out = driver.drive(src, tgts)
     assert out.shape == (2, 256, 256, 3)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+@pytest.mark.slow
+def test_free_view_set_pose(rng, tiny_driver=None):
+    """Free-view re-pose (reference drive_demo free_view mode): fixed-angle
+    overrides flow through keypoint_transformation; yaw=0/pitch=0/roll=0
+    frontalizes and differs from the estimated-pose transform unless the
+    estimate is already frontal."""
+    from e4s2024_tpu.models.facevid2vid import (
+        headpose_to_degree,
+        keypoint_transformation,
+    )
+
+    b = 2
+    kp = {"value": jnp.asarray(rng.standard_normal((b, 5, 3)), jnp.float32)}
+    he = {
+        "yaw": jnp.asarray(rng.standard_normal((b, 66)), jnp.float32),
+        "pitch": jnp.asarray(rng.standard_normal((b, 66)), jnp.float32),
+        "roll": jnp.asarray(rng.standard_normal((b, 66)), jnp.float32),
+        "t": jnp.zeros((b, 3)),
+        "exp": jnp.zeros((b, 15)),
+    }
+    est = keypoint_transformation(kp, he)
+    fr = keypoint_transformation(kp, he, yaw=0.0, pitch=0.0, roll=0.0)
+    assert fr["value"].shape == est["value"].shape
+    # frontal override == the estimated path only if the estimate is frontal
+    assert not np.allclose(np.asarray(fr["value"]), np.asarray(est["value"]))
+    # overriding with the ESTIMATED angles must reproduce the estimate path
+    same = keypoint_transformation(
+        kp, he, yaw=float(headpose_to_degree(he["yaw"])[0]))
+    # (scalar override broadcasts one angle across the batch; check sample 0)
+    np.testing.assert_allclose(np.asarray(same["value"][0]),
+                               np.asarray(est["value"][0]), atol=1e-5)
