@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+from PIL import Image
 
 # 12-class label names (reference datasets/dataset.py:30)
 SEG12_NAMES = ["background", "lip", "eyebrows", "eyes", "hair", "nose",
@@ -81,9 +82,22 @@ def build_gradio_app(swapper, video_pipeline=None, full_pipeline=None):
             "APIs (FaceSwapper / FaceSwapVideoPipeline) or the CLI instead"
         ) from e
 
-    def swap_image(source, target):
+    def swap_image(source, target, aligned):
         src = np.asarray(source)
         tgt = np.asarray(target)
+        if aligned:
+            # pre-aligned crops: skip detection entirely (works without
+            # detector weights; the original image-tab behavior)
+            s = swapper.cfg.out_size
+            src = np.asarray(Image.fromarray(src.astype(np.uint8))
+                             .resize((s, s))) if src.shape[:2] != (s, s) else src
+            tgt = np.asarray(Image.fromarray(tgt.astype(np.uint8))
+                             .resize((s, s))) if tgt.shape[:2] != (s, s) else tgt
+            if full_pipeline is not None:
+                return full_pipeline.swap_batch(src[None], tgt[None])[0]
+            out = swapper.swap_aligned(src[None].astype(np.float32),
+                                       tgt[None].astype(np.float32))
+            return np.asarray(out["image"][0]).astype(np.uint8)
         if full_pipeline is not None:
             return full_pipeline.swap_raw(src, tgt)
         return swapper.swap(src, tgt)
@@ -104,8 +118,11 @@ def build_gradio_app(swapper, video_pipeline=None, full_pipeline=None):
             with gr.Row():
                 src = gr.Image(label="source")
                 tgt = gr.Image(label="target")
+            aligned = gr.Checkbox(
+                value=False, label="inputs are pre-aligned crops "
+                "(skip detection)")
             out = gr.Image(label="swapped")
-            gr.Button("Swap").click(swap_image, [src, tgt], out)
+            gr.Button("Swap").click(swap_image, [src, tgt, aligned], out)
         if video_pipeline is not None:
             with gr.Tab("Video swap"):
                 vsrc = gr.Image(label="source")

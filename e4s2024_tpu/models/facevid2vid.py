@@ -538,7 +538,9 @@ def keypoint_transformation(kp_canonical, he, *, yaw=None, pitch=None,
     def angle(override, logits):
         if override is None:
             return headpose_to_degree(logits)
-        return jnp.full((b,), float(override), jnp.float32)
+        # traceable: accepts python scalars, 0-d tracers, or (b,) arrays
+        return jnp.broadcast_to(
+            jnp.asarray(override, jnp.float32).reshape(-1), (b,))
 
     rot = rotation_matrix(angle(yaw, he["yaw"]),
                           angle(pitch, he["pitch"]),
@@ -587,6 +589,18 @@ class FaceVid2VidDriver:
 
         self._gen_batch = jit_with_packed_params(gen_batch, params)
 
+        def set_pose_fn(p, src, angles):
+            kp_canon = self.kp.apply({"params": p["kp_detector"]}, src)
+            he = self.he.apply({"params": p["he_estimator"]}, src)
+            kp_src = keypoint_transformation(kp_canon, he)
+            kp_drv = keypoint_transformation(kp_canon, he, yaw=angles[0],
+                                             pitch=angles[1], roll=angles[2])
+            return self.gen.apply({"params": p["generator"]}, src, kp_drv,
+                                  kp_src)["prediction"]
+
+        # one packed program per call (same rationale as _gen_batch)
+        self._set_pose = jit_with_packed_params(set_pose_fn, params)
+
     def drive(self, source01: jnp.ndarray, targets01: jnp.ndarray) -> jnp.ndarray:
         """source01: (1, 256, 256, 3) [0,1]; targets01: (F, 256, 256, 3).
         Returns (F, 256, 256, 3) driven frames in [0,1]."""
@@ -609,13 +623,7 @@ class FaceVid2VidDriver:
         """Free-view re-pose (reference make_animation free_view mode,
         drive_demo.py:182/202): re-render the source at fixed head-pose
         angles in degrees, keeping its own expression/translation. Defaults
-        frontalize. Returns (1, 256, 256, 3) in [0, 1]."""
-        source01 = jnp.asarray(source01)
-        kp_canon = self._kp_fwd(source01)
-        he = self._he_fwd(source01)
-        kp_src = keypoint_transformation(kp_canon, he)
-        kp_drv = keypoint_transformation(kp_canon, he, yaw=yaw, pitch=pitch,
-                                         roll=roll)
-        return self.gen.apply(
-            {"params": self.params["generator"]}, source01, kp_drv,
-            kp_src)["prediction"]
+        frontalize. ONE packed program per call. Returns (1, 256, 256, 3)
+        in [0, 1]."""
+        angles = jnp.asarray([yaw, pitch, roll], jnp.float32)
+        return self._set_pose(jnp.asarray(source01), angles)

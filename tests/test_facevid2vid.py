@@ -93,8 +93,7 @@ def test_drive_end_to_end_tiny(rng):
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
-@pytest.mark.slow
-def test_free_view_set_pose(rng, tiny_driver=None):
+def test_free_view_set_pose(rng):
     """Free-view re-pose (reference drive_demo free_view mode): fixed-angle
     overrides flow through keypoint_transformation; yaw=0/pitch=0/roll=0
     frontalizes and differs from the estimated-pose transform unless the
@@ -124,3 +123,32 @@ def test_free_view_set_pose(rng, tiny_driver=None):
     # (scalar override broadcasts one angle across the batch; check sample 0)
     np.testing.assert_allclose(np.asarray(same["value"][0]),
                                np.asarray(est["value"][0]), atol=1e-5)
+
+
+def test_set_pose_end_to_end_tiny(rng):
+    """Driver.set_pose (free-view frontalization) through the packed jitted
+    program at the tiny 256^2 config."""
+    src = jnp.asarray(rng.random((1, 256, 256, 3)).astype(np.float32))
+    kp = KPDetector(block_expansion=4, max_features=32, reshape_features=64,
+                    reshape_depth=4)
+    he = HEEstimator(block_expansion=8, width=16)
+    gen = OcclusionAwareSPADEGenerator(
+        block_expansion=8, max_features=32, reshape_channel=8,
+        reshape_depth=4, num_resblocks=1, dm_block_expansion=4,
+        dm_max_features=32, decoder_ic=8)
+    key = jax.random.PRNGKey(0)
+    kp_params = kp.init(key, src)["params"]
+    he_params = he.init(jax.random.fold_in(key, 1), src)["params"]
+    kpd = kp.apply({"params": kp_params}, src)
+    hed = he.apply({"params": he_params}, src)
+    kps = keypoint_transformation(kpd, hed)
+    gen_params = gen.init(jax.random.fold_in(key, 2), src, kps, kps)["params"]
+    driver = FaceVid2VidDriver({
+        "kp_detector": kp_params, "he_estimator": he_params,
+        "generator": gen_params,
+    }, kp=kp, he=he, gen=gen)
+    out = driver.set_pose(src)                      # frontalize
+    assert out.shape == (1, 256, 256, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    tilted = driver.set_pose(src, yaw=30.0)
+    assert not np.allclose(np.asarray(out), np.asarray(tilted))
