@@ -70,6 +70,8 @@ class FullFaceSwapPipeline:
         self._fused_call = None
         self._fused_batch = None
         self._fused_checked = False
+        self._fused_raw = None
+        self._fused_parts = None
 
     # ---------------- stages ----------------
 
@@ -225,6 +227,9 @@ class FullFaceSwapPipeline:
                                                   result["hole_mask"])
             return jnp.clip(swapped, 0, 255).astype(jnp.uint8)
 
+        # un-jitted form + resolved components, re-jittable with shardings
+        self._fused_raw = fused
+        self._fused_parts = (enh, rec, up, inp)
         fused_jit = jax.jit(fused)
 
         def call_batch(src_u8, tgt_u8):
@@ -242,6 +247,50 @@ class FullFaceSwapPipeline:
         self._fused_batch = call_batch
         self._fused_call = call
         return call
+
+    def shard_inference(self, mesh, axis: str = "dp") -> None:
+        """Data-parallel multi-chip serving: re-jit the fused batched swap
+        program over `mesh`, sharding the pair-batch axis across `axis` with
+        every component's params replicated. One program call serves
+        B pairs across all devices — XLA splits the batch, no per-device
+        dispatch loop and no collectives on the forward path (each pair is
+        independent). This is the serving-side counterpart of the trainer's
+        'dp' mesh (parallel/mesh.py); the reference has no serving
+        parallelism at all (single-GPU gradio/demo drivers).
+
+        Requires the fused path (raises otherwise, same conditions as
+        _maybe_build_fused) and batches divisible by the mesh axis size.
+        Subsequent swap_batch calls go through the sharded program."""
+        if self._maybe_build_fused() is None:
+            raise RuntimeError(
+                "sharded serving needs the fused path: disable optimize_W / "
+                "pose driving / classical ct modes, and use packed-param "
+                "components")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        shd = NamedSharding(mesh, PartitionSpec(axis))
+        fused_jit = jax.jit(self._fused_raw,
+                            in_shardings=(rep, rep, rep, rep, rep, shd, shd),
+                            out_shardings=shd)
+        sw = self.swapper
+        enh, rec, up, inp = self._fused_parts
+        n = mesh.shape[axis]
+
+        def call_batch(src_u8, tgt_u8):
+            if src_u8.shape[0] % n:
+                raise ValueError(
+                    f"batch {src_u8.shape[0]} not divisible by the "
+                    f"{n}-device '{axis}' mesh axis")
+            return fused_jit(
+                sw._packed,
+                enh._packed if enh is not None else None,
+                rec._packed if rec is not None else None,
+                up._packed if up is not None else None,
+                inp._packed if inp is not None else None,
+                src_u8, tgt_u8)
+
+        self._fused_batch = call_batch
 
     def swap_batch(self, source_crops255, target_crops255) -> np.ndarray:
         """Swap B pre-aligned pairs at once: (B, S, S, 3) -> (B, S, S, 3)

@@ -229,3 +229,65 @@ def test_swap_raw_full_zoo(rng):
     # the projected swap dominates the output; it must differ from a plain
     # passthrough of the target
     assert not np.array_equal(out, tgt)
+
+
+@pytest.mark.slow
+def test_sharded_swap_batch_matches_unsharded(rng):
+    """Data-parallel serving: shard_inference() re-jits the fused batched
+    swap over an 8-device 'dp' mesh; per-pair outputs match the unsharded
+    fused program (each pair is independent — batch sharding must not
+    change the math)."""
+    from e4s2024_tpu.parallel import make_mesh
+
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg)
+    swapper.rgi = rgi
+    pipe = FullFaceSwapPipeline(swapper, SwapComponents(),
+                                FullSwapConfig(ct_mode="none"))
+
+    B = 8
+    src = (rng.random((B, 64, 64, 3)) * 255).astype(np.float32)
+    tgt = (rng.random((B, 64, 64, 3)) * 255).astype(np.float32)
+    want = pipe.swap_batch(src, tgt)  # unsharded fused program
+    assert pipe._fused_call is not None
+
+    pipe.shard_inference(make_mesh(8))
+    got = pipe.swap_batch(src, tgt)
+    assert got.shape == (B, 64, 64, 3) and got.dtype == np.uint8
+    # same ops, same math — only partitioned; XLA may still fuse the parse
+    # argmax differently per partition, so tolerate boundary label flips
+    # (same criterion as test_fused_path_matches_staged)
+    d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert d.mean() < 2.0 and (d > 8).mean() < 0.05
+
+    # indivisible batches are rejected rather than silently repartitioned
+    with pytest.raises(ValueError):
+        pipe.swap_batch(src[:3], tgt[:3])
+
+
+def test_shard_inference_requires_fused():
+    """Configs that force the staged path (host-side ct modes) cannot be
+    mesh-served; shard_inference must say so, not degrade silently."""
+    from e4s2024_tpu.parallel import make_mesh
+
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg)
+    swapper.rgi = rgi
+    pipe = FullFaceSwapPipeline(swapper, SwapComponents(),
+                                FullSwapConfig(ct_mode="rct"))
+    with pytest.raises(RuntimeError):
+        pipe.shard_inference(make_mesh(8))
