@@ -316,6 +316,14 @@ class FullFaceSwapPipeline:
         return self.swapper.swap(source_img, target_img,
                                  swap_fn=self.swap_batch)
 
+    def swap_raw_multi(self, source_img: np.ndarray,
+                       target_img: np.ndarray, **kw) -> np.ndarray:
+        """Multi-face raw-frame entry: the source identity onto every face
+        detected in the target frame, all crops through one zoo-enhanced
+        batch (FaceSwapper.swap_all with the fused batched swap)."""
+        return self.swapper.swap_all(source_img, target_img,
+                                     swap_fn=self.swap_batch, **kw)
+
     # ---------------- full pipeline ----------------
 
     def __call__(self, source_crop255: np.ndarray, target_crop255: np.ndarray,

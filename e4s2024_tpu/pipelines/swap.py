@@ -447,3 +447,62 @@ class FaceSwapper:
         out = (projected * alpha
                + jnp.asarray(target_img, jnp.float32) * (1.0 - alpha))
         return np.asarray(jnp.clip(out, 0, 255)).astype(np.uint8)
+
+    def swap_all(self, source_img: np.ndarray, target_img: np.ndarray,
+                 swap_fn=None, max_faces: int = 8,
+                 min_score: float = 0.5) -> np.ndarray:
+        """Multi-face raw-frame swap: the source identity onto EVERY face
+        detected in the target frame. All F target crops go through the
+        aligned swap as ONE batch (one program call), then paste back
+        face by face. The reference swaps only one face per frame; its only
+        multi-face path is GPEN's full-frame restore (gpen_demo.py:18-121).
+
+        Needs the in-framework detector (FaceLandmarkDetector.detect_all);
+        a plain single-face `landmark_fn` hook raises. Faces below
+        `min_score` are skipped; at most `max_faces` (sorted by detector
+        score) are swapped. Returns the frame unchanged when no face is
+        found."""
+        landmark_fn = self.ensure_landmark_fn()
+        if not hasattr(landmark_fn, "detect_all"):
+            raise RuntimeError(
+                "swap_all needs the in-framework detector stack "
+                "(pipelines.detect.FaceLandmarkDetector); the configured "
+                "landmark_fn hook only yields one face — use swap() or "
+                "supply a FaceLandmarkDetector")
+        s = self.cfg.out_size
+        src_lm = landmark_fn(source_img)
+        if src_lm is None:
+            raise ValueError("no face detected in the source image")
+        c, x, y = compute_transform_from_landmarks(src_lm)
+        src_crop = crop_quad(jnp.asarray(source_img, jnp.float32),
+                             jnp.asarray(quad_from_cxy(c, x, y) + 0.5), s)
+
+        _, scores, _, lm68 = landmark_fn.detect_all(target_img)
+        order = np.argsort(np.asarray(scores))[::-1][:max_faces]
+        order = [i for i in order if float(scores[i]) >= min_score]
+        if not order:
+            return np.asarray(target_img, np.uint8)
+        quads, crops = [], []
+        for i in order:
+            c, x, y = compute_transform_from_landmarks(np.asarray(lm68[i]))
+            quad = quad_from_cxy(c, x, y)
+            quads.append(quad)
+            crops.append(crop_quad(jnp.asarray(target_img, jnp.float32),
+                                   jnp.asarray(quad + 0.5), s))
+        tgt_batch = jnp.stack(crops)
+        src_batch = jnp.broadcast_to(src_crop, tgt_batch.shape)
+        if swap_fn is not None:
+            swapped = jnp.asarray(swap_fn(src_batch, tgt_batch), jnp.float32)
+        else:
+            swapped = self.swap_aligned(src_batch,
+                                        tgt_batch)["image"].astype(jnp.float32)
+
+        out = jnp.asarray(target_img, jnp.float32)
+        for i, quad in enumerate(quads):
+            coeffs = jnp.asarray(paste_back_coefficients(quad, s))
+            projected = warp_perspective(swapped[i], coeffs,
+                                         target_img.shape[:2])
+            alpha = warp_perspective(jnp.ones((s, s, 1)), coeffs,
+                                     target_img.shape[:2])
+            out = projected * alpha + out * (1.0 - alpha)
+        return np.asarray(jnp.clip(out, 0, 255)).astype(np.uint8)

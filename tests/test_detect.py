@@ -435,3 +435,38 @@ def test_gpen_fullframe_background_sr(small_stack, rng):
     assert FakeSR.calls == 1
     assert out.shape == (400, 400, 3) and out.dtype == np.uint8
     assert np.isfinite(out).all()
+
+
+def test_swap_all_multiface(small_stack, rng):
+    """swap_all puts the source identity on every detected target face: one
+    batched aligned swap over all F crops, per-face paste-back."""
+    from e4s2024_tpu.models.bisenet import BiSeNet
+    from e4s2024_tpu.models.rgi import RGINet
+    from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
+
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg, landmark_fn=small_stack)
+    swapper.rgi = rgi
+
+    src = (rng.random((160, 160, 3)) * 255).astype(np.uint8)
+    tgt = (rng.random((200, 240, 3)) * 255).astype(np.uint8)
+    out = swapper.swap_all(src, tgt, min_score=0.0)
+    assert out.shape == tgt.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, tgt)  # at least one face replaced
+
+    # a score floor above every detection leaves the frame untouched
+    same = swapper.swap_all(src, tgt, min_score=2.0)
+    np.testing.assert_array_equal(same, tgt)
+
+    # single-face landmark hooks (no detect_all) are rejected loudly
+    swapper_hook = FaceSwapper(v, bise, cfg, landmark_fn=lambda img: None)
+    swapper_hook.rgi = rgi
+    with pytest.raises(RuntimeError, match="FaceLandmarkDetector"):
+        swapper_hook.swap_all(src, tgt)
