@@ -33,7 +33,14 @@ def compute_transform_from_landmarks(lm: np.ndarray, scale: float = 1.0):
     eye_to_mouth = mouth_avg - eye_avg
 
     x = eye_to_eye - np.flipud(eye_to_mouth) * [-1, 1]
-    x /= np.hypot(*x)
+    norm = np.hypot(*x)
+    if not np.isfinite(lm).all() or norm < 1e-8:
+        # degenerate landmarks (all-coincident points / NaNs from an upstream
+        # detector failure) would yield a NaN quad and silently produce
+        # garbage crops downstream — fail loudly instead
+        raise ValueError(
+            "degenerate 68-pt landmarks: cannot derive an FFHQ crop frame")
+    x /= norm
     x *= max(np.hypot(*eye_to_eye) * 2.0, np.hypot(*eye_to_mouth) * 1.8)
     x *= scale
     y = np.flipud(x) * [-1, 1]

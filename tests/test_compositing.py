@@ -189,3 +189,15 @@ def test_planar_variants_match_nhwc(rng):
             mk.transpose(0, 3, 1, 2), num_levels=4)),
         np.asarray(laplacian_pyramid_blend(a, b, mk, num_levels=4)),
         atol=1e-3)
+
+
+def test_degenerate_landmarks_raise():
+    """Coincident or NaN landmarks must fail loudly, not propagate a NaN
+    quad into silently-garbage crops (found driving swap_all on a
+    featureless frame)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="degenerate"):
+        compute_transform_from_landmarks(np.full((68, 2), 5.0))
+    with pytest.raises(ValueError, match="degenerate"):
+        compute_transform_from_landmarks(np.full((68, 2), np.nan))
