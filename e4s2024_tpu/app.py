@@ -82,9 +82,14 @@ def build_gradio_app(swapper, video_pipeline=None, full_pipeline=None):
             "APIs (FaceSwapper / FaceSwapVideoPipeline) or the CLI instead"
         ) from e
 
-    def swap_image(source, target, aligned):
+    def swap_image(source, target, aligned, all_faces=False):
         src = np.asarray(source)
         tgt = np.asarray(target)
+        if all_faces and not aligned:
+            # source identity onto every detected target face (swap_all)
+            if full_pipeline is not None:
+                return full_pipeline.swap_raw_multi(src, tgt)
+            return swapper.swap_all(src, tgt)
         if aligned:
             # pre-aligned crops: skip detection entirely (works without
             # detector weights; the original image-tab behavior)
@@ -121,8 +126,12 @@ def build_gradio_app(swapper, video_pipeline=None, full_pipeline=None):
             aligned = gr.Checkbox(
                 value=False, label="inputs are pre-aligned crops "
                 "(skip detection)")
+            all_faces = gr.Checkbox(
+                value=False, label="swap ALL detected faces in the target "
+                "(multi-face; ignores the pre-aligned flag)")
             out = gr.Image(label="swapped")
-            gr.Button("Swap").click(swap_image, [src, tgt, aligned], out)
+            gr.Button("Swap").click(swap_image,
+                                    [src, tgt, aligned, all_faces], out)
         if video_pipeline is not None:
             with gr.Tab("Video swap"):
                 vsrc = gr.Image(label="source")
