@@ -85,8 +85,10 @@ def build_gradio_app(swapper, video_pipeline=None, full_pipeline=None):
     def swap_image(source, target, aligned, all_faces=False):
         src = np.asarray(source)
         tgt = np.asarray(target)
-        if all_faces and not aligned:
-            # source identity onto every detected target face (swap_all)
+        if all_faces:
+            # source identity onto every detected target face (swap_all);
+            # per the checkbox label this wins over the pre-aligned flag —
+            # multi-face requires detection on the raw target frame
             if full_pipeline is not None:
                 return full_pipeline.swap_raw_multi(src, tgt)
             return swapper.swap_all(src, tgt)

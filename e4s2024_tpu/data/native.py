@@ -13,25 +13,42 @@ import subprocess
 
 import numpy as np
 
+# Installed wheels ship the prebuilt library inside the package
+# (e4s2024_tpu/_native/); source checkouts build into native/ via make.
+_PKG_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "_native", "libfast_prep.so")
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libfast_prep.so")
 _lib = None
 
 
-def _load():
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB_PATH):
+def _find_lib():
+    if os.path.exists(_PKG_LIB_PATH):
+        return _PKG_LIB_PATH
+    if os.path.exists(_LIB_PATH):
+        return _LIB_PATH
+    if os.path.isdir(_NATIVE_DIR):
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
         except Exception:
-            _lib = False
-            return _lib
+            return None
+        if os.path.exists(_LIB_PATH):
+            return _LIB_PATH
+    return None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = _find_lib()
+    if path is None:
+        _lib = False
+        return _lib
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
         lib.prep_images_pm1.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int]

@@ -224,13 +224,19 @@ class FaceLandmarkDetector:
     """
 
     def __init__(self, detector: RetinaFaceDetector,
-                 landmarker: FANLandmarker):
+                 landmarker: FANLandmarker,
+                 min_score: float | None = None):
         self.detector = detector
         self.landmarker = landmarker
+        # confidence floor for the single-face path; None keeps the
+        # detector's own fallback semantics (demo mode / random weights)
+        self.min_score = min_score
 
     def __call__(self, frame: np.ndarray) -> np.ndarray | None:
         boxes, scores, _ = self.detector.detect(frame)
         if boxes.shape[0] == 0:
+            return None
+        if self.min_score is not None and float(scores[0]) < self.min_score:
             return None
         return self.landmarker.landmarks(frame, boxes[:1])[0]
 
@@ -273,7 +279,8 @@ def default_landmarker(weights_dir: str | None = None,
     det_path = os.path.join(weights_dir, det_name) if weights_dir else ""
     fan_path = os.path.join(weights_dir, "2DFAN4.pth") if weights_dir else ""
 
-    if det_path and os.path.exists(det_path):
+    real_det_weights = bool(det_path and os.path.exists(det_path))
+    if real_det_weights:
         det_params = convert_retinaface(load_torch_checkpoint(det_path), cfg)
     else:
         warnings.warn(
@@ -294,9 +301,16 @@ def default_landmarker(weights_dir: str | None = None,
         fan_params = _random_init(
             fan, (jnp.zeros((1, fan_resolution, fan_resolution, 3)),), 1)
 
-    det = RetinaFaceDetector(det_params, cfg,
-                             DetectorConfig(det_size=det_size))
+    # With real weights, detection confidence is meaningful: disable the
+    # best-candidate fallback and gate the single-face path on score_thresh
+    # so a faceless frame yields None (and FaceSwapper.swap raises) instead
+    # of a confident-garbage swap. Random-weight demo mode keeps the
+    # fallback so the pipeline stays runnable end-to-end.
+    det_config = DetectorConfig(det_size=det_size)
+    det = RetinaFaceDetector(det_params, cfg, det_config,
+                             fallback_best=not real_det_weights)
     return FaceLandmarkDetector(
         det, FANLandmarker(fan_params, num_modules=fan_modules,
                            features=fan_features, depth=fan_depth,
-                           resolution=fan_resolution))
+                           resolution=fan_resolution),
+        min_score=det_config.score_thresh if real_det_weights else None)

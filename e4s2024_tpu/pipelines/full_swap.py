@@ -69,9 +69,23 @@ class FullFaceSwapPipeline:
         self.cfg = cfg
         self._fused_call = None
         self._fused_batch = None
-        self._fused_checked = False
+        self._fused_key = None
         self._fused_raw = None
         self._fused_parts = None
+        self._shard_args = None
+
+    def _fused_fingerprint(self):
+        """Identity of everything the fused build depends on; a change in
+        components or config after the first build triggers a rebuild
+        instead of being silently ignored."""
+        comp, cfg = self.comp, self.cfg
+        return (
+            cfg.optimize_w_steps, cfg.ct_mode, cfg.enhancement_mode,
+            cfg.face_inpainting, cfg.blend_up_ratio,
+            tuple(sorted((k, id(v)) for k, v in comp.enhancers.items())),
+            id(comp.pose_driver), id(comp.recolorer), id(comp.upscaler),
+            id(comp.inpainter),
+        )
 
     # ---------------- stages ----------------
 
@@ -170,12 +184,18 @@ class FullFaceSwapPipeline:
         stage). Component params enter as packed per-dtype buffers
         (utils/packing.py) so weight updates flow through without retraces.
 
-        Built lazily; returns the fused callable or None when the config
-        needs host-side logic (pose gating, optimize_W, classical ct modes)
-        or a component doesn't expose its packed form."""
-        if self._fused_checked:
+        Built lazily; rebuilt whenever components or config changed since
+        the last build (fingerprint check — a swapped-in enhancer or a
+        toggled cfg flag takes effect on the next call instead of being
+        silently ignored). Returns the fused callable or None when the
+        config needs host-side logic (pose gating, optimize_W, classical ct
+        modes) or a component doesn't expose its packed form."""
+        key = self._fused_fingerprint()
+        if self._fused_key == key:
             return self._fused_call
-        self._fused_checked = True
+        self._fused_key = key
+        self._fused_call = self._fused_batch = None
+        self._fused_raw = self._fused_parts = None
         sw, comp, cfg = self.swapper, self.comp, self.cfg
         if (cfg.optimize_w_steps > 0 or comp.pose_driver is not None
                 or cfg.ct_mode not in ("none", "blender")):
@@ -246,6 +266,10 @@ class FullFaceSwapPipeline:
 
         self._fused_batch = call_batch
         self._fused_call = call
+        if self._shard_args is not None:
+            # a rebuild must not silently drop serving shardings installed
+            # by shard_inference — re-apply them to the fresh program
+            self._apply_sharding(*self._shard_args)
         return call
 
     def shard_inference(self, mesh, axis: str = "dp") -> None:
@@ -266,6 +290,10 @@ class FullFaceSwapPipeline:
                 "sharded serving needs the fused path: disable optimize_W / "
                 "pose driving / classical ct modes, and use packed-param "
                 "components")
+        self._shard_args = (mesh, axis)
+        self._apply_sharding(mesh, axis)
+
+    def _apply_sharding(self, mesh, axis: str) -> None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         rep = NamedSharding(mesh, PartitionSpec())

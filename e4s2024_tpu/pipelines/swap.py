@@ -23,6 +23,7 @@ between stages via the `driven_hook` once those modules are loaded.
 from __future__ import annotations
 
 import functools
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -423,8 +424,12 @@ class FaceSwapper:
         landmark_fn = self.ensure_landmark_fn()
         s = self.cfg.out_size
         crops, quads = [], []
-        for img in (source_img, target_img):
+        for name, img in (("source", source_img), ("target", target_img)):
             lm = landmark_fn(img)
+            if lm is None:
+                raise ValueError(
+                    f"no face found in the {name} image (no detection "
+                    "cleared the confidence threshold)")
             c, x, y = compute_transform_from_landmarks(lm)
             quad = quad_from_cxy(c, x, y)
             crop = crop_quad(jnp.asarray(img, jnp.float32),
@@ -484,11 +489,22 @@ class FaceSwapper:
             return np.asarray(target_img, np.uint8)
         quads, crops = [], []
         for i in order:
-            c, x, y = compute_transform_from_landmarks(np.asarray(lm68[i]))
+            # one degenerate detection in a group photo must not abort the
+            # good swaps: skip it (warn) and keep going
+            try:
+                c, x, y = compute_transform_from_landmarks(
+                    np.asarray(lm68[i]))
+            except ValueError as e:
+                warnings.warn(f"skipping face {i}: {e}")
+                continue
             quad = quad_from_cxy(c, x, y)
             quads.append(quad)
             crops.append(crop_quad(jnp.asarray(target_img, jnp.float32),
                                    jnp.asarray(quad + 0.5), s))
+        if not quads:
+            raise ValueError(
+                f"all {len(order)} detected faces had degenerate landmarks "
+                "— nothing usable to swap")
         tgt_batch = jnp.stack(crops)
         src_batch = jnp.broadcast_to(src_crop, tgt_batch.shape)
         if swap_fn is not None:

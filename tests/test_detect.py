@@ -470,3 +470,30 @@ def test_swap_all_multiface(small_stack, rng):
     swapper_hook.rgi = rgi
     with pytest.raises(RuntimeError, match="FaceLandmarkDetector"):
         swapper_hook.swap_all(src, tgt)
+
+
+def test_swap_raises_on_no_face(small_stack, rng):
+    """With a confidence floor set (the real-weights default), a frame where
+    no detection clears it makes FaceSwapper.swap() raise a clear error
+    instead of swapping a confident-garbage fallback candidate."""
+    from e4s2024_tpu.models.bisenet import BiSeNet
+    from e4s2024_tpu.models.rgi import RGINet
+    from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
+
+    gated = FaceLandmarkDetector(small_stack.detector, small_stack.landmarker,
+                                 min_score=2.0)  # above any possible score
+    assert gated(np.zeros((160, 160, 3), np.uint8)) is None
+
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg, landmark_fn=gated)
+    swapper.rgi = rgi
+    featureless = np.zeros((160, 160, 3), np.uint8)
+    with pytest.raises(ValueError, match="no face found in the source"):
+        swapper.swap(featureless, featureless)

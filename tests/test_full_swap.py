@@ -291,3 +291,40 @@ def test_shard_inference_requires_fused():
                                 FullSwapConfig(ct_mode="rct"))
     with pytest.raises(RuntimeError):
         pipe.shard_inference(make_mesh(8))
+
+
+@pytest.mark.slow
+def test_fused_cache_invalidation(rng):
+    """Components/config changed after the first fused build must take
+    effect on the next call (rebuild), not be silently ignored."""
+    cfg = SwapConfig(out_size=64, remaining_layer_idx=7, num_blend_levels=3,
+                     regional_mode="fast")
+    rgi = RGINet(out_size=64, remaining_layer_idx=7, channel_multiplier=1,
+                 encoder_input_size=64, encoder_num_units=(1, 1, 2, 1))
+    seg = jnp.asarray(np.eye(12, dtype=np.float32)[np.zeros((1, 64, 64), int)])
+    v = rgi.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), seg)
+    bise = BiSeNet().init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 512, 512, 3)))["params"]
+    swapper = FaceSwapper(v, bise, cfg)
+    swapper.rgi = rgi
+    pipe = FullFaceSwapPipeline(swapper, SwapComponents(),
+                                FullSwapConfig(ct_mode="none"))
+    src = (rng.random((1, 64, 64, 3)) * 255).astype(np.float32)
+    tgt = (rng.random((1, 64, 64, 3)) * 255).astype(np.float32)
+    out1 = pipe.swap_batch(src, tgt)
+    assert pipe._maybe_build_fused() is not None
+
+    # install an enhancer AFTER the first fused build: output must change
+    gpen = GPENFullGenerator(size=64, narrow=0.25)
+    gpen_params = gpen.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 64, 64, 3)))["params"]
+    pipe.comp.enhancers["gpen"] = GPENEnhancer(
+        gpen_params, 64, gpen).enhance_aligned
+    out2 = pipe.swap_batch(src, tgt)
+    assert not np.array_equal(out1, out2)
+
+    # switching to a host-side ct mode drops the fused path entirely
+    pipe.cfg.ct_mode = "rct"
+    assert pipe._maybe_build_fused() is None
+    out3 = pipe.swap_batch(src, tgt)  # staged fallback still works
+    assert out3.shape == (1, 64, 64, 3)
