@@ -129,17 +129,30 @@ class RetinaFaceDetector:
             return b[order], sc[order] * keep[order], lm5[idx][order]
 
         self._run = jax.jit(run)
+        # batched over same-size frames (a video clip): ONE program per
+        # chunk instead of a dispatch round-trip per frame
+        self._run_batch = jax.jit(jax.vmap(run, in_axes=(None, 0)))
 
-    def detect(self, frame: np.ndarray):
-        frame = np.asarray(frame)
-        h, w = frame.shape[:2]
+        @partial(jax.jit, static_argnames=("nh", "nw"))
+        def prep(frames, nh, nw):
+            # (B, H, W, 3) any-dtype -> (B, det, det, 3) f32, aspect-
+            # preserving resize + zero pad, all on device
+            x = resize_bilinear(frames.astype(jnp.float32), (nh, nw))
+            return jnp.pad(x, ((0, 0), (0, s - nh), (0, s - nw), (0, 0)))
+
+        self._prep = prep
+
+    def _preprocess(self, frames: jnp.ndarray):
+        h, w = frames.shape[1:3]
         s = self.config.det_size
         scale = s / max(h, w)
         nh, nw = round(h * scale), round(w * scale)
-        img = jnp.asarray(frame, jnp.float32)
-        img = resize_bilinear(img[None], (nh, nw))[0]
-        img = jnp.pad(img, ((0, s - nh), (0, s - nw), (0, 0)))
-        boxes, scores, lm5 = jax.device_get(self._run(self._packed, img))
+        return self._prep(frames, nh=nh, nw=nw), scale
+
+    def detect(self, frame: np.ndarray):
+        frame = np.asarray(frame)
+        imgs, scale = self._preprocess(jnp.asarray(frame)[None])
+        boxes, scores, lm5 = jax.device_get(self._run(self._packed, imgs[0]))
         boxes, lm5 = boxes / scale, lm5 / scale
         good = scores > self.config.score_thresh
         if not good.any():
@@ -150,6 +163,24 @@ class RetinaFaceDetector:
             good = np.zeros_like(good)
             good[0] = True  # rows are score-sorted; row 0 is the best
         return boxes[good], scores[good], lm5[good]
+
+    def detect_batch(self, frames, chunk: int = 16):
+        """Batched detection over a stack of SAME-SIZE frames (a video
+        clip): (B, H, W, 3) -> (boxes (B, K, 4), scores (B, K), lm5
+        (B, K, 5, 2)) with K = max_faces, rows score-sorted per frame and
+        suppressed rows carrying score 0. One jitted program
+        per `chunk` frames — the per-frame dispatch floor of the tunneled
+        transport amortizes across the chunk."""
+        frames = jnp.asarray(frames)
+        outs = []
+        for i in range(0, frames.shape[0], chunk):
+            imgs, scale = self._preprocess(frames[i:i + chunk])
+            b, sc, lm = self._run_batch(self._packed, imgs)
+            outs.append((b / scale, sc, lm / scale))
+        boxes = np.concatenate([jax.device_get(o[0]) for o in outs])
+        scores = np.concatenate([jax.device_get(o[1]) for o in outs])
+        lm5 = np.concatenate([jax.device_get(o[2]) for o in outs])
+        return boxes, scores, lm5
 
 
 class FANLandmarker:
@@ -179,10 +210,8 @@ class FANLandmarker:
             ])
             return crop_quad(frame, quad, self.resolution)
 
-        def run(packed, frame, centers, sides):
-            # frame: (H, W, 3) [0,255]; centers: (F, 2); sides: (F,)
+        def decode(packed, crops, centers, sides):
             p = unpack_pytree(packed, self._meta)
-            crops = jax.vmap(lambda c, s: crop(frame, c, s))(centers, sides)
             hm = self.model.apply({"params": p}, crops / 255.0)[-1]
             pts = heatmaps_to_landmarks(hm.astype(jnp.float32))  # (F, K, 2)
             # heatmap px -> crop px -> frame px (center-aligned sampling)
@@ -190,7 +219,22 @@ class FANLandmarker:
             rel = (pts + 0.5) / hw - 0.5  # in (-0.5, 0.5) of the crop
             return centers[:, None, :] + rel * sides[:, None, None]
 
+        def run(packed, frame, centers, sides):
+            # frame: (H, W, 3) [0,255]; centers: (F, 2); sides: (F,)
+            crops = jax.vmap(lambda c, s: crop(frame, c, s))(centers, sides)
+            return decode(packed, crops, centers, sides)
+
+        def run_video(packed, frames, centers, sides):
+            # one face per frame, batched: frames (B, H, W, 3), centers
+            # (B, 2), sides (B,) — the whole clip's FAN pass is chunked
+            # jitted programs instead of a dispatch per frame
+            crops = jax.vmap(lambda f, c, s: crop(f.astype(jnp.float32),
+                                                  c, s))(frames, centers,
+                                                         sides)
+            return decode(packed, crops, centers, sides)
+
         self._run = jax.jit(run)
+        self._run_video = jax.jit(run_video)
 
     @staticmethod
     def box_to_center_side(box: np.ndarray):
@@ -212,6 +256,23 @@ class FANLandmarker:
         out = self._run(self._packed, jnp.asarray(frame, jnp.float32),
                         centers, sides)
         return np.asarray(jax.device_get(out))
+
+    def landmarks_video(self, frames, boxes: np.ndarray,
+                        chunk: int = 16) -> np.ndarray:
+        """One face per frame, batched: frames (B, H, W, 3), boxes (B, 4)
+        xyxy -> (B, 68, 2). Chunked jitted programs over the clip."""
+        boxes = np.asarray(boxes, np.float32)
+        cs = [self.box_to_center_side(b) for b in boxes]
+        centers = np.stack([c for c, _ in cs]).astype(np.float32)
+        sides = np.array([s for _, s in cs], np.float32)
+        frames = jnp.asarray(frames)
+        outs = []
+        for i in range(0, frames.shape[0], chunk):
+            outs.append(self._run_video(
+                self._packed, frames[i:i + chunk],
+                jnp.asarray(centers[i:i + chunk]),
+                jnp.asarray(sides[i:i + chunk])))
+        return np.concatenate([np.asarray(jax.device_get(o)) for o in outs])
 
 
 class FaceLandmarkDetector:
@@ -245,6 +306,19 @@ class FaceLandmarkDetector:
         boxes, scores, lm5 = self.detector.detect(frame)
         lm68 = self.landmarker.landmarks(frame, boxes)
         return boxes, scores, lm5, lm68
+
+    def landmarks_video(self, frames, chunk: int = 16):
+        """Best face of every frame of a SAME-SIZE clip, fully batched:
+        (B, H, W, 3) -> (lm68 (B, 68, 2), scores (B,)). Two chunked jitted
+        stages (RetinaFace, FAN) instead of 2 dispatches per frame — the
+        video pipeline's detection fast path. Frames whose best score is
+        below `min_score` (when set) still return landmarks; callers gate on
+        the returned scores (the video contract expects a face per frame —
+        reference face_swap_video_pipeline.py:181-210 crops every frame)."""
+        boxes, scores, _ = self.detector.detect_batch(frames, chunk)
+        best_boxes, best_scores = boxes[:, 0], scores[:, 0]
+        lm68 = self.landmarker.landmarks_video(frames, best_boxes, chunk)
+        return lm68, best_scores
 
 
 def _random_init(module, shapes, rng=0):

@@ -58,6 +58,16 @@ class FullSwapConfig:
     optimize_w_steps: int = 0
     optimize_w_lr: float = 1e-2
     blend_up_ratio: float = 0.75       # edge-aware recolor blend (:910-924)
+    # largest batch executed as ONE fused program call by swap_batch; bigger
+    # batches are chunked. None = auto by resolution: at 1024^2 the fused
+    # program is HBM-bandwidth-bound at B=1 (132 GB accessed / 150 ms call
+    # ~ the v5e roofline) and batching INCREASES bytes per swap (+10% at
+    # B=4 from lost fusion -> 23% slower per swap; scripts/
+    # profile_batch1024.py), so auto chunks to single pairs there; at
+    # <= 512^2 the ~20 ms program is dispatch-bound and batching wins
+    # (134 vs 71 swaps/s at B=8, BENCH_r03.json). Sharded serving
+    # (shard_inference) always keeps the whole batch — the mesh splits it.
+    max_fused_batch: int | None = None
 
 
 class FullFaceSwapPipeline:
@@ -320,18 +330,35 @@ class FullFaceSwapPipeline:
 
         self._fused_batch = call_batch
 
+    def _batch_chunk(self, batch: int) -> int:
+        """Largest per-call batch for the fused program (see
+        FullSwapConfig.max_fused_batch; measured policy)."""
+        if self.cfg.max_fused_batch is not None:
+            return max(1, self.cfg.max_fused_batch)
+        return 1 if self.swapper.cfg.out_size >= 1024 else batch
+
     def swap_batch(self, source_crops255, target_crops255) -> np.ndarray:
         """Swap B pre-aligned pairs at once: (B, S, S, 3) -> (B, S, S, 3)
-        uint8. One fused program per call when the config allows it (the
+        uint8. One fused program per chunk when the config allows it (the
         batched multi-pair path, reference gradio_swap.py batch mode /
-        Face_swap_with_two_imgs.py main batch driver :966-1106); otherwise
-        falls back to per-pair staged swaps."""
+        Face_swap_with_two_imgs.py main batch driver :966-1106); the chunk
+        size auto-selects the measured-faster execution shape per resolution
+        (FullSwapConfig.max_fused_batch). Falls back to per-pair staged
+        swaps when the config forces host-side logic."""
         from e4s2024_tpu.pipelines.swap import _as_u8
 
         if self._maybe_build_fused() is not None:
-            out = self._fused_batch(_as_u8(source_crops255),
-                                    _as_u8(target_crops255))
-            return np.asarray(out)
+            src = _as_u8(source_crops255)
+            tgt = _as_u8(target_crops255)
+            b = src.shape[0]
+            chunk = b if self._shard_args is not None else \
+                self._batch_chunk(b)
+            if chunk >= b:
+                return np.asarray(self._fused_batch(src, tgt))
+            return np.concatenate([
+                np.asarray(self._fused_batch(src[i:i + chunk],
+                                             tgt[i:i + chunk]))
+                for i in range(0, b, chunk)])
         return np.stack([self(s, t)["image"]
                          for s, t in zip(source_crops255, target_crops255)])
 

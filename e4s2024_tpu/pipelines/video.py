@@ -59,6 +59,15 @@ def _paste_back_one(crop_u8, frame_u8, coeffs, fh, fw):
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("s",))
+def _crop_quads_jit(frames, quads, s):
+    """Batched quad crops: frames (B, H, W, 3) any dtype, quads (B, 4, 2)
+    -> (B, s, s, 3) f32 — one program per chunk instead of a warp dispatch
+    per frame."""
+    return jax.vmap(lambda f, q: crop_quad(f.astype(jnp.float32), q, s))(
+        frames, quads)
+
+
 @functools.partial(jax.jit, static_argnames=("fh", "fw"))
 def _paste_back_jit(crop_u8, frame_u8, coeffs, fh, fw):
     """Warp swapped crops onto full frames and alpha-compose, BATCHED over the
@@ -120,21 +129,41 @@ class FaceSwapVideoPipeline:
 
     def align_frames(self, frames: list[np.ndarray]):
         """Crop every frame with temporally smoothed quads. Returns
-        (crops (F,S,S,3) float32 [0,255], quads)."""
+        (crops (F,S,S,3) float32 [0,255], quads).
+
+        Detection and cropping are batched (chunked jitted programs over the
+        clip) when the landmark stack supports it — per-frame dispatch
+        round-trips dominate wall time on tunneled transports. A custom
+        per-frame `landmark_fn` hook falls back to the frame loop."""
         s = self.swapper.cfg.out_size
         landmark_fn = self.swapper.ensure_landmark_fn()
+        same_size = len({f.shape for f in frames}) == 1
+        if same_size and hasattr(landmark_fn, "landmarks_video"):
+            stack = np.stack(frames)
+            lms, _ = landmark_fn.landmarks_video(
+                stack, chunk=self.cfg.frames_per_batch * 4)
+        else:
+            lms = [landmark_fn(f) for f in frames]
         cs, xs, ys = [], [], []
-        for f in frames:
-            lm = landmark_fn(f)
+        for lm in lms:
             c, x, y = compute_transform_from_landmarks(lm)
             cs.append(c); xs.append(x); ys.append(y)
         quads = smooth_video_quads(cs, xs, ys, self.cfg.center_sigma,
                                    self.cfg.xy_sigma)
-        crops = np.stack([
-            np.asarray(crop_quad(jnp.asarray(f, jnp.float32),
-                                 jnp.asarray(q + 0.5), s))
-            for f, q in zip(frames, quads)
-        ])
+        if same_size:
+            frames_arr = jnp.asarray(np.stack(frames))
+            quads_arr = jnp.asarray(np.stack(quads) + 0.5, jnp.float32)
+            b = self.cfg.frames_per_batch * 4
+            crops = np.concatenate([
+                np.asarray(_crop_quads_jit(frames_arr[i:i + b],
+                                           quads_arr[i:i + b], s))
+                for i in range(0, len(frames), b)])
+        else:
+            crops = np.stack([
+                np.asarray(crop_quad(jnp.asarray(f, jnp.float32),
+                                     jnp.asarray(q + 0.5), s))
+                for f, q in zip(frames, quads)
+            ])
         return crops, quads
 
     # ------------- stages 3-4: parse + invert (batched) -------------
@@ -224,12 +253,26 @@ class FaceSwapVideoPipeline:
     # ------------- full pipeline -------------
 
     def __call__(self, source_img: np.ndarray, frames: list[np.ndarray],
-                 verbose: bool = False) -> list[np.ndarray]:
+                 verbose: bool = False, timer=None) -> list[np.ndarray]:
+        """`timer` (a `utils.observability.StageTimer`) records per-stage
+        wall time with a device sync per stage — profiling runs only (the
+        syncs cost throughput)."""
         cfg = self.swapper.cfg
         s = cfg.out_size
 
+        if timer is None and verbose:
+            from e4s2024_tpu.utils.observability import StageTimer
+            timer = StageTimer()
+
+        import contextlib
+
+        def stage(name):
+            return timer.stage(name) if timer is not None \
+                else contextlib.nullcontext()
+
         # 1. align
-        t_crops, t_quads = self.align_frames(frames)
+        with stage("detect_align"):
+            t_crops, t_quads = self.align_frames(frames)
         lm = self.swapper.ensure_landmark_fn()(source_img)
         c, x, y = compute_transform_from_landmarks(lm)
         from e4s2024_tpu.pipelines.alignment import quad_from_cxy
@@ -238,86 +281,102 @@ class FaceSwapVideoPipeline:
                                       jnp.asarray(s_quad + 0.5), s))
 
         # 2. pose-drive + enhancement hook
-        if self.driven_hook is not None:
-            driven = self.driven_hook(s_crop, t_crops)
-        else:
-            driven = np.repeat(s_crop[None], len(t_crops), axis=0)
-        if self.enhancer is not None:
-            driven = self.enhance_frames(driven)
+        with stage("drive_enhance"):
+            if self.driven_hook is not None:
+                driven = self.driven_hook(s_crop, t_crops)
+            else:
+                driven = np.repeat(s_crop[None], len(t_crops), axis=0)
+            if self.enhancer is not None:
+                driven = self.enhance_frames(driven)
 
         # 2b. per-frame Blender recolor targets for PTI guidance (reference
         # face_swap_video_pipeline.py:287-300; falls back to the driven frame)
-        recolor_frames = self.recolor_targets(driven, t_crops)
+        with stage("recolor_targets"):
+            recolor_frames = self.recolor_targets(driven, t_crops)
 
         # 3. parse
-        d_labels = self.parse_frames(driven)
-        t_labels = self.parse_frames(t_crops)
+        with stage("parse"):
+            d_labels = self.parse_frames(driven)
+            t_labels = self.parse_frames(t_crops)
 
         # 4. style vectors
-        d_sv = self.style_vectors(driven, d_labels)
-        t_sv = self.style_vectors(t_crops, t_labels)
+        with stage("invert"):
+            d_sv = self.style_vectors(driven, d_labels)
+            t_sv = self.style_vectors(t_crops, t_labels)
 
         # 5-6. mask merge + style mixing, ALL frames in two jitted batched
         # calls (a per-frame eager loop costs a dispatch round-trip per op on
         # high-latency device transports)
-        comp = np.asarray(sorted(set(range(cfg.num_seg_cls))
-                                 - set(cfg.keep_target_components)))
-        merged = jax.jit(jax.vmap(swap_head_mask))(jnp.asarray(d_labels),
-                                                   jnp.asarray(t_labels))
-        swapped_svs = np.asarray(jax.jit(swap_comp_style_vector)(
-            jnp.asarray(t_sv), jnp.asarray(d_sv), jnp.asarray(comp)))
-        merged_masks = np.asarray(merged["mask"])
-        holes = np.asarray(merged["hole_mask"])
+        with stage("mask_merge"):
+            comp = np.asarray(sorted(set(range(cfg.num_seg_cls))
+                                     - set(cfg.keep_target_components)))
+            merged = jax.jit(jax.vmap(swap_head_mask))(jnp.asarray(d_labels),
+                                                       jnp.asarray(t_labels))
+            swapped_svs = np.asarray(jax.jit(swap_comp_style_vector)(
+                jnp.asarray(t_sv), jnp.asarray(d_sv), jnp.asarray(comp)))
+            merged_masks = np.asarray(merged["mask"])
+            holes = np.asarray(merged["hole_mask"])
 
         # 5b. PTI tuning of the generator on this clip
         variables = self.swapper.rgi_variables
         if self.cfg.run_pti and self.cfg.pti.max_pti_steps > 0:
-            coach = PTICoach(self.swapper.rgi, self.loss_params, self.cfg.pti,
-                             mesh=self.mesh)
-            variables, _ = coach.tune(
-                variables,
-                frames=to_pm1(driven),
-                labels=d_labels,
-                style_vectors=d_sv,
-                recolor=to_pm1(recolor_frames),
-            )
-            # params are jit arguments, so the tuned weights take effect
-            # without retracing
-            self.swapper.rgi_variables = variables
+            with stage("pti_tune"):
+                coach = PTICoach(self.swapper.rgi, self.loss_params,
+                                 self.cfg.pti, mesh=self.mesh)
+                # frames/recolor cross to the device as uint8 (tune converts
+                # to pm1 on device): 4x fewer transfer bytes, and parity-
+                # faithful — the reference passes these stages through 8-bit
+                # image files (face_swap_video_pipeline.py imgs/ folders)
+                variables, _ = coach.tune(
+                    variables,
+                    frames=np.clip(np.rint(driven), 0, 255).astype(np.uint8),
+                    labels=d_labels.astype(np.uint8),
+                    style_vectors=d_sv,
+                    recolor=np.clip(np.rint(recolor_frames), 0,
+                                    255).astype(np.uint8),
+                )
+                # params are jit arguments, so the tuned weights take effect
+                # without retracing
+                self.swapper.rgi_variables = variables
 
         # 6b. boundary-stitching tune: content region must match the swapped
         # synthesis, border ring must match the target frame (reference
         # face_swap_video_pipeline.py:356-390 -> video_swap_stich_coach.py:153-208)
         if self.cfg.run_stitching and self.cfg.stitching.max_steps > 0:
-            content = self._gen_raw(swapped_svs, merged_masks)
-            stitcher = StitchingCoach(self.swapper.rgi, self.loss_params,
-                                      self.cfg.stitching, mesh=self.mesh)
-            variables, _ = stitcher.tune(
-                self.swapper.rgi_variables,
-                content_imgs=content,
-                border_imgs=to_pm1(t_crops),
-                labels=merged_masks,
-                style_vectors=swapped_svs,
-            )
-            self.swapper.rgi_variables = variables
+            with stage("stitching_tune"):
+                content = self._gen_raw(swapped_svs, merged_masks)
+                stitcher = StitchingCoach(self.swapper.rgi, self.loss_params,
+                                          self.cfg.stitching, mesh=self.mesh)
+                variables, _ = stitcher.tune(
+                    self.swapper.rgi_variables,
+                    content_imgs=content,
+                    border_imgs=np.clip(np.rint(t_crops), 0,
+                                        255).astype(np.uint8),
+                    labels=merged_masks.astype(np.uint8),
+                    style_vectors=swapped_svs,
+                )
+                self.swapper.rgi_variables = variables
 
         # 6-7. synthesize + composite + paste back, BATCHED over frames:
         # one synth+composite program and one paste-back program per chunk
         # instead of several eager dispatches per frame
-        fh, fw = frames[0].shape[0], frames[0].shape[1]
-        coeffs = np.stack([np.asarray(paste_back_coefficients(q, s),
-                                      np.float32) for q in t_quads])
-        frames_arr = np.stack(frames)
-        outputs = []
-        b = self.cfg.frames_per_batch
-        for i in range(0, len(t_crops), b):
-            out255 = self.swapper._synth_jit(
-                jnp.asarray(swapped_svs[i:i + b]),
-                jnp.asarray(merged_masks[i:i + b]),
-                jnp.asarray(holes[i:i + b]),
-                jnp.asarray(to_pm1(t_crops[i:i + b])),
-            )
-            composed = _paste_back_jit(out255, jnp.asarray(frames_arr[i:i + b]),
-                                       jnp.asarray(coeffs[i:i + b]), fh, fw)
-            outputs.extend(np.asarray(composed))
+        with stage("synth_composite_pasteback"):
+            fh, fw = frames[0].shape[0], frames[0].shape[1]
+            coeffs = np.stack([np.asarray(paste_back_coefficients(q, s),
+                                          np.float32) for q in t_quads])
+            frames_arr = np.stack(frames)
+            outputs = []
+            b = self.cfg.frames_per_batch
+            for i in range(0, len(t_crops), b):
+                out255 = self.swapper._synth_jit(
+                    jnp.asarray(swapped_svs[i:i + b]),
+                    jnp.asarray(merged_masks[i:i + b]),
+                    jnp.asarray(holes[i:i + b]),
+                    jnp.asarray(to_pm1(t_crops[i:i + b])),
+                )
+                composed = _paste_back_jit(out255,
+                                           jnp.asarray(frames_arr[i:i + b]),
+                                           jnp.asarray(coeffs[i:i + b]),
+                                           fh, fw)
+                outputs.extend(np.asarray(composed))
         return outputs

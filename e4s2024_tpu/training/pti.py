@@ -38,6 +38,13 @@ from e4s2024_tpu.ops.resize import resize_bilinear
 from e4s2024_tpu.training.coach import _g_trainable_mask, TrainConfig
 
 
+def to_pm1_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] -> f32 [-1,1]; float inputs pass through (already pm1)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
 def eroded_label_map(label: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
     """Erode the face region of a (B, H, W) 12-class map; non-face (bg/hair/
     earring) and eroded-away pixels become background (reference
@@ -112,6 +119,7 @@ class PTICoach:
             loss_params, lpips_lambda=cfg.lpips_lambda, id_lambda=cfg.id_lambda,
             face_parsing_lambda=cfg.face_parsing_lambda, l2_lambda=cfg.l2_lambda)
         self.tx = None
+        self._init_jit = None
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("fr"))
@@ -145,9 +153,19 @@ class PTICoach:
             synth = jax.checkpoint(synth)
         return synth(params, style_vectors, onehot)
 
-    def _chunk_loss(self, params, buffers, frames, onehot, style_vectors,
+    def _chunk_loss(self, params, buffers, frames, labels, style_vectors,
                     recolor):
         cfg = self.cfg
+        # frames/recolor may be uint8 [0,255] (the resident form — 4x fewer
+        # H2D bytes and HBM than f32 pm1; parity-faithful, the reference
+        # round-trips driven/recolor frames through 8-bit image files between
+        # stages): convert to pm1 on device. labels arrive as an int map and
+        # one-hot HERE, inside the program — a resident f32 one-hot of a
+        # 100-frame 512^2 clip is 1.26 GB (12x the label map) and was most of
+        # the old tune() setup cost.
+        frames, recolor = (to_pm1_f32(x) for x in (frames, recolor))
+        onehot = jax.nn.one_hot(labels.astype(jnp.int32),
+                                self.net.num_seg_cls, dtype=jnp.float32)
         if cfg.compute_dtype != "float32":
             # mixed precision: f32 master params, bf16 synthesis + losses;
             # grad of the cast is the cast back, so grads stay f32 for Adam
@@ -173,7 +191,7 @@ class PTICoach:
             lambda m: m.astype(jnp.float32), metrics)
         return loss, metrics
 
-    def _train_step(self, carry, buffers, frames, onehot, style_vectors,
+    def _train_step(self, carry, buffers, frames, labels, style_vectors,
                     recolor, idx=None):
         """One optimizer step on the frame-MEAN gradient. Inputs either
         (F, ...) — single pass — or chunked (n, cs, ...) — lax.scan gradient
@@ -182,27 +200,27 @@ class PTICoach:
         the step gathers its mini-batch on device, then chunks it."""
         params, opt = carry
         if idx is not None:
-            frames, onehot, style_vectors, recolor = (
+            frames, labels, style_vectors, recolor = (
                 jnp.take(x, idx, axis=0)
-                for x in (frames, onehot, style_vectors, recolor))
+                for x in (frames, labels, style_vectors, recolor))
             m = idx.shape[0]
             cpc = self.cfg.frames_per_chunk
             if cpc and m > cpc:
                 cs = max(d for d in range(1, cpc + 1) if m % d == 0)
                 if cs < m:
-                    frames, onehot, style_vectors, recolor = (
+                    frames, labels, style_vectors, recolor = (
                         x.reshape((m // cs, cs) + x.shape[1:])
-                        for x in (frames, onehot, style_vectors, recolor))
+                        for x in (frames, labels, style_vectors, recolor))
         grad_fn = jax.value_and_grad(self._chunk_loss, has_aux=True,
                                      argnums=0)
 
         if frames.ndim == 4:  # (F, H, W, 3): whole clip at once
-            (_, metrics), grads = grad_fn(params, buffers, frames, onehot,
+            (_, metrics), grads = grad_fn(params, buffers, frames, labels,
                                           style_vectors, recolor)
         else:                 # (n, cs, ...): accumulate over chunks
             n = frames.shape[0]
             m_shape = jax.eval_shape(
-                lambda p: self._chunk_loss(p, buffers, frames[0], onehot[0],
+                lambda p: self._chunk_loss(p, buffers, frames[0], labels[0],
                                            style_vectors[0], recolor[0])[1],
                 params)
             zeros = (jax.tree_util.tree_map(jnp.zeros_like, params),
@@ -210,14 +228,14 @@ class PTICoach:
                          lambda s: jnp.zeros(s.shape, s.dtype), m_shape))
 
             def body(acc, xs):
-                fr, oh, sv, rc = xs
-                (_, m), g = grad_fn(params, buffers, fr, oh, sv, rc)
+                fr, lb, sv, rc = xs
+                (_, m), g = grad_fn(params, buffers, fr, lb, sv, rc)
                 g_acc = jax.tree_util.tree_map(jnp.add, acc[0], g)
                 m_acc = jax.tree_util.tree_map(jnp.add, acc[1], m)
                 return (g_acc, m_acc), None
 
             (grads, metrics), _ = jax.lax.scan(
-                body, zeros, (frames, onehot, style_vectors, recolor))
+                body, zeros, (frames, labels, style_vectors, recolor))
             grads = jax.tree_util.tree_map(lambda g: g / n, grads)
             metrics = jax.tree_util.tree_map(lambda m: m / n, metrics)
 
@@ -225,32 +243,56 @@ class PTICoach:
         params = optax.apply_updates(params, updates)
         return (params, opt), metrics
 
+    def _init_carry(self, params):
+        """(copied params, fresh opt state) in ONE jitted dispatch. The step
+        donates its carry, so the caller's arrays must not be aliased —
+        jnp.copy inside jit materializes fresh buffers; eagerly tree-mapping
+        jnp.copy dispatches hundreds of tiny ops (seconds over a tunneled
+        transport)."""
+        if self._init_jit is None:
+            self._init_jit = jax.jit(lambda p: (
+                jax.tree_util.tree_map(jnp.copy, p), self.tx.init(p)))
+        return self._init_jit(params)
+
+    @staticmethod
+    def _sync_history(history: list) -> list:
+        """Device metric dicts -> host float dicts in one batched fetch.
+        Per-step float() syncs serialize the training loop on the host
+        (measured: +80 ms/step on the tunnel, and they block async dispatch
+        pipelining)."""
+        if not history:
+            return history
+        keys = list(history[0].keys())
+        stacked = jax.device_get(
+            {k: jnp.stack([h[k] for h in history]) for k in keys})
+        return [{k: float(stacked[k][i]) for k in keys}
+                for i in range(len(history))]
+
     def tune(self, variables: dict, frames, labels, style_vectors, recolor,
              steps: int | None = None):
         """Fine-tune the generator on a clip.
 
-        frames/recolor: (F, S, S, 3) in [-1, 1]; labels: (F, Hm, Wm) int
-        12-class; style_vectors: (F, K, 1280).
+        frames/recolor: (F, S, S, 3) — uint8 [0,255] (preferred: 4x fewer
+        transfer/HBM bytes; the reference passes these stages through 8-bit
+        image files) or float in [-1, 1]; labels: (F, Hm, Wm) int 12-class
+        (uint8 welcome); style_vectors: (F, K, 1280).
 
         Returns (tuned variables, per-step metrics list)."""
         cfg = self.cfg
-        # copy: the jitted step donates its carry, which would invalidate the
-        # caller's arrays
-        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        params = variables["params"]
         buffers = variables["buffers"]
         if self.tx is None:
             self._build_tx(params)
         if cfg.erode:
             labels = eroded_label_map(jnp.asarray(labels), cfg.erode_radius)
-        onehot = jax.nn.one_hot(jnp.asarray(labels), self.net.num_seg_cls,
-                                dtype=jnp.float32)
+        labels = jnp.asarray(labels)
         frames = jnp.asarray(frames)
         recolor = jnp.asarray(recolor)
         style_vectors = jnp.asarray(style_vectors)
 
         f = frames.shape[0]
         n_steps = steps if steps is not None else cfg.max_pti_steps
-        carry = (params, self.tx.init(params))
+        carry = self._init_carry(params)
         history = []
 
         if (self.mesh is None and cfg.frames_per_step
@@ -266,11 +308,12 @@ class PTICoach:
                     perm, pos = prng.permutation(f), 0
                 idx = jnp.asarray(perm[pos:pos + m])
                 pos += m
-                carry, metrics = self._step(carry, buffers, frames, onehot,
+                carry, metrics = self._step(carry, buffers, frames, labels,
                                             style_vectors, recolor, idx)
-                history.append({k: float(v) for k, v in metrics.items()})
+                history.append(metrics)
             params, _ = carry
-            return {"params": params, "buffers": buffers}, history
+            return ({"params": params, "buffers": buffers},
+                    self._sync_history(history))
 
         # frame-chunked gradient accumulation (single-device; on a mesh the
         # frame axis shards across devices instead): largest divisor of F
@@ -280,16 +323,17 @@ class PTICoach:
             cs = max(d for d in range(1, cfg.frames_per_chunk + 1)
                      if f % d == 0)
             n = f // cs
-            frames, onehot, style_vectors, recolor = (
+            frames, labels, style_vectors, recolor = (
                 x.reshape((n, cs) + x.shape[1:])
-                for x in (frames, onehot, style_vectors, recolor))
+                for x in (frames, labels, style_vectors, recolor))
 
         for _ in range(n_steps):
-            carry, metrics = self._step(carry, buffers, frames, onehot,
+            carry, metrics = self._step(carry, buffers, frames, labels,
                                         style_vectors, recolor)
-            history.append({k: float(v) for k, v in metrics.items()})
+            history.append(metrics)
         params, _ = carry
-        return {"params": params, "buffers": buffers}, history
+        return ({"params": params, "buffers": buffers},
+                self._sync_history(history))
 
 
 @dataclass
@@ -326,6 +370,7 @@ class StitchingCoach:
             loss_params, lpips_lambda=cfg.lpips_lambda, id_lambda=cfg.id_lambda,
             face_parsing_lambda=cfg.face_parsing_lambda, l2_lambda=cfg.l2_lambda)
         self.tx = None
+        self._init_jit = None
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("fr"))
@@ -338,9 +383,13 @@ class StitchingCoach:
         else:
             self._step = jax.jit(self._train_step, donate_argnums=(0,))
 
-    def _chunk_loss(self, params, buffers, content_img, border_img, onehot,
+    def _chunk_loss(self, params, buffers, content_img, border_img, labels,
                     style_vectors):
         cfg = self.cfg
+        content_img, border_img = (to_pm1_f32(x)
+                                   for x in (content_img, border_img))
+        onehot = jax.nn.one_hot(labels.astype(jnp.int32),
+                                self.net.num_seg_cls, dtype=jnp.float32)
 
         def synth(p, sv, oh):
             variables = {"params": p, "buffers": buffers}
@@ -372,7 +421,7 @@ class StitchingCoach:
         metrics["loss"] = loss
         return loss, metrics
 
-    def _train_step(self, carry, buffers, content_img, border_img, onehot,
+    def _train_step(self, carry, buffers, content_img, border_img, labels,
                     style_vectors):
         """Inputs (F, ...) — single pass — or chunked (n, cs, ...) — scan
         gradient accumulation (see PTICoach._train_step)."""
@@ -381,25 +430,25 @@ class StitchingCoach:
 
         if content_img.ndim == 4:
             (_, metrics), grads = grad_fn(params, buffers, content_img,
-                                          border_img, onehot, style_vectors)
+                                          border_img, labels, style_vectors)
         else:
             n = content_img.shape[0]
             m_shape = jax.eval_shape(
                 lambda p: self._chunk_loss(p, buffers, content_img[0],
-                                           border_img[0], onehot[0],
+                                           border_img[0], labels[0],
                                            style_vectors[0])[1], params)
             zeros = (jax.tree_util.tree_map(jnp.zeros_like, params),
                      jax.tree_util.tree_map(
                          lambda s: jnp.zeros(s.shape, s.dtype), m_shape))
 
             def body(acc, xs):
-                ci, bi, oh, sv = xs
-                (_, m), g = grad_fn(params, buffers, ci, bi, oh, sv)
+                ci, bi, lb, sv = xs
+                (_, m), g = grad_fn(params, buffers, ci, bi, lb, sv)
                 return (jax.tree_util.tree_map(jnp.add, acc[0], g),
                         jax.tree_util.tree_map(jnp.add, acc[1], m)), None
 
             (grads, metrics), _ = jax.lax.scan(
-                body, zeros, (content_img, border_img, onehot, style_vectors))
+                body, zeros, (content_img, border_img, labels, style_vectors))
             grads = jax.tree_util.tree_map(lambda g: g / n, grads)
             metrics = jax.tree_util.tree_map(lambda m: m / n, metrics)
 
@@ -409,8 +458,9 @@ class StitchingCoach:
 
     def tune(self, variables, content_imgs, border_imgs, labels, style_vectors,
              steps: int | None = None):
-        """content/border imgs: (F, S, S, 3) [-1,1]; labels (F, Hm, Wm) int."""
-        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        """content/border imgs: (F, S, S, 3) uint8 [0,255] or float [-1,1];
+        labels (F, Hm, Wm) int (uint8 welcome)."""
+        params = variables["params"]
         buffers = variables["buffers"]
         if self.tx is None:
             cfg_like = TrainConfig(out_size=self.net.out_size,
@@ -419,8 +469,7 @@ class StitchingCoach:
             self.tx = optax.multi_transform(
                 {True: optax.adam(self.cfg.learning_rate),
                  False: optax.set_to_zero()}, mask)
-        onehot = jax.nn.one_hot(jnp.asarray(labels), self.net.num_seg_cls,
-                                dtype=jnp.float32)
+        labels = jnp.asarray(labels)
         content_imgs = jnp.asarray(content_imgs)
         border_imgs = jnp.asarray(border_imgs)
         style_vectors = jnp.asarray(style_vectors)
@@ -431,15 +480,16 @@ class StitchingCoach:
             cs = max(d for d in range(1, cfg.frames_per_chunk + 1)
                      if f % d == 0)
             n = f // cs
-            content_imgs, border_imgs, onehot, style_vectors = (
+            content_imgs, border_imgs, labels, style_vectors = (
                 x.reshape((n, cs) + x.shape[1:])
-                for x in (content_imgs, border_imgs, onehot, style_vectors))
-        carry = (params, self.tx.init(params))
+                for x in (content_imgs, border_imgs, labels, style_vectors))
+        carry = PTICoach._init_carry(self, params)
         history = []
         for _ in range(steps if steps is not None else self.cfg.max_steps):
             carry, metrics = self._step(
-                carry, buffers, content_imgs, border_imgs, onehot,
+                carry, buffers, content_imgs, border_imgs, labels,
                 style_vectors)
-            history.append({k: float(v) for k, v in metrics.items()})
+            history.append(metrics)
         params, _ = carry
-        return {"params": params, "buffers": buffers}, history
+        return ({"params": params, "buffers": buffers},
+                PTICoach._sync_history(history))

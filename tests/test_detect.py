@@ -497,3 +497,30 @@ def test_swap_raises_on_no_face(small_stack, rng):
     featureless = np.zeros((160, 160, 3), np.uint8)
     with pytest.raises(ValueError, match="no face found in the source"):
         swapper.swap(featureless, featureless)
+
+
+def test_detect_batch_matches_per_frame(small_stack, rng):
+    """detect_batch (the video fast path) must agree with per-frame detect:
+    same boxes/scores for every frame of a same-size stack."""
+    frames = (rng.random((5, 200, 240, 3)) * 255).astype(np.uint8)
+    b_boxes, b_scores, b_lm5 = small_stack.detector.detect_batch(
+        frames, chunk=2)
+    assert b_boxes.shape[0] == 5
+    for i, f in enumerate(frames):
+        imgs, scale = small_stack.detector._preprocess(jnp.asarray(f)[None])
+        boxes, scores, lm5 = jax.device_get(
+            small_stack.detector._run(small_stack.detector._packed, imgs[0]))
+        np.testing.assert_allclose(b_boxes[i], boxes / scale,
+                                   atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(b_scores[i], scores, atol=1e-5, rtol=1e-4)
+
+
+def test_landmarks_video_matches_per_frame(small_stack, rng):
+    """landmarks_video (batched RetinaFace + batched FAN over a clip) must
+    match the per-frame __call__ path landmark-for-landmark."""
+    frames = (rng.random((4, 200, 240, 3)) * 255).astype(np.uint8)
+    lms, scores = small_stack.landmarks_video(frames, chunk=3)
+    assert lms.shape == (4, 68, 2) and scores.shape == (4,)
+    for i, f in enumerate(frames):
+        lm = small_stack(f)
+        np.testing.assert_allclose(lms[i], lm, atol=1e-2, rtol=1e-4)
