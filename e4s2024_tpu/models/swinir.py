@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -37,33 +38,64 @@ class WindowAttention(nn.Module):
     dim: int
     window: int
     heads: int
+    dtype: Any = jnp.float32
+    use_kernel: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        """x: (nW*B, w*w, C); mask: (nW, w*w, w*w) or None."""
+    def __call__(self, x, labels=None):
+        """x: (nW*B, w*w, C); labels: (nW, w*w) int window-region labels for
+        shifted windows (None for unshifted). The additive -100 mask is
+        computed IN-PROGRAM from the labels: materializing the dense
+        (nW, n, n) float mask as a trace-time constant costs 67 MB per
+        shifted block at 512^2 (numerically identical, the reference's
+        attn_mask, network_swinir.py calculate_mask)."""
         bnw, n, c = x.shape
         hd = c // self.heads
-        qkv = nn.Dense(3 * c, name="qkv")(x)
+        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
         qkv = qkv.reshape(bnw, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        att = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
 
         table = self.param(
             "rel_bias_table", nn.initializers.normal(0.02),
             ((2 * self.window - 1) ** 2, self.heads))
         idx = jnp.asarray(_rel_pos_index(self.window))
         bias = table[idx.reshape(-1)].reshape(n, n, self.heads)
-        att = att + jnp.transpose(bias, (2, 0, 1))[None]
+        bias_hnn = jnp.transpose(bias, (2, 0, 1))
 
-        if mask is not None:
-            nw = mask.shape[0]
-            att = att.reshape(bnw // nw, nw, self.heads, n, n) \
-                + mask[None, :, None]
-            att = att.reshape(bnw, self.heads, n, n)
-        att = jax.nn.softmax(att, -1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        if self.use_kernel and self.dtype == jnp.bfloat16:
+            # fused VMEM-resident attention chain (ops/window_attention.py).
+            # OFF by default: isolated it beats the XLA chain (39.4 vs
+            # 45.1 ms at 4x512^2 on v5e) but integrated it LOSES (802 vs
+            # 545 ms/frame) — the kernel requires q/k/v materialized in
+            # (BW, H, n, 30) HBM layout, whose 30-lane minor dim tiles to
+            # 128 (4.3x padded traffic) where XLA fuses the transposes
+            # into the einsum and never materializes them. Kept for the
+            # interpret-mode oracle tests and as the base for a
+            # packed-qkv-layout kernel.
+            from e4s2024_tpu.ops.window_attention import (
+                fused_window_attention)
+
+            lab = None
+            if labels is not None:
+                lab = jnp.tile(labels.astype(jnp.int32),
+                               (bnw // labels.shape[0], 1))
+            out = fused_window_attention(q, k, v,
+                                         bias_hnn.astype(jnp.float32), lab)
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
+            att = att + bias_hnn[None].astype(att.dtype)
+            if labels is not None:
+                nw = labels.shape[0]
+                neq = labels[:, None, :] != labels[:, :, None]  # (nW, n, n)
+                mask = jnp.where(neq, jnp.asarray(-100.0, att.dtype),
+                                 jnp.asarray(0.0, att.dtype))
+                att = att.reshape(bnw // nw, nw, self.heads, n, n) \
+                    + mask[None, :, None]
+                att = att.reshape(bnw, self.heads, n, n)
+            att = jax.nn.softmax(att, -1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
 
 def _window_partition(x, w):
@@ -78,17 +110,30 @@ def _window_reverse(x, w, h, ww):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, ww, -1)
 
 
-def _shift_mask(h, w, window, shift) -> np.ndarray:
+@functools.lru_cache(maxsize=None)
+def _shift_labels(h, w, window, shift) -> np.ndarray:
+    """(nW, window*window) int8 window-region labels of the cyclically
+    shifted image — the compact form of the shifted-window attention mask
+    (reference network_swinir.py calculate_mask): tokens in the same window
+    may attend iff their labels match. Runs at trace time; int8 keeps the
+    embedded constant at nW*window^2 bytes (262 KB at 512^2 vs 67 MB for
+    the dense float mask)."""
     img = np.zeros((h, w))
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
         for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
             img[hs, ws] = cnt
             cnt += 1
-    # pure numpy (this runs at trace time)
     win = img.reshape(h // window, window, w // window, window)
-    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)
-    diff = win[:, None, :] - win[:, :, None]
+    return win.transpose(0, 2, 1, 3).reshape(
+        -1, window * window).astype(np.int8)
+
+
+def _shift_mask(h, w, window, shift) -> np.ndarray:
+    """Dense (nW, n, n) additive mask — reference semantics, used by tests;
+    the model itself keeps the compact label form (`_shift_labels`)."""
+    win = _shift_labels(h, w, window, shift)
+    diff = win[:, None, :].astype(np.int32) - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
@@ -98,27 +143,31 @@ class SwinBlock(nn.Module):
     window: int = 8
     shift: int = 0
     mlp_ratio: float = 2.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x)
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_mask(h, w, self.window, self.shift))
+            labels = jnp.asarray(
+                _shift_labels(h, w, self.window, self.shift))
         else:
-            mask = None
+            labels = None
         xw = _window_partition(x, self.window)
-        xw = WindowAttention(self.dim, self.window, self.heads, name="attn")(
-            xw, mask)
+        xw = WindowAttention(self.dim, self.window, self.heads,
+                             dtype=self.dtype, name="attn")(xw, labels)
         x = _window_reverse(xw, self.window, h, w)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + x
-        h2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h2 = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h2)
-        h2 = nn.Dense(self.dim, name="fc2")(jax.nn.gelu(h2, approximate=False))
+        h2 = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x)
+        h2 = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1",
+                      dtype=self.dtype)(h2)
+        h2 = nn.Dense(self.dim, name="fc2", dtype=self.dtype)(
+            jax.nn.gelu(h2, approximate=False))
         return x + h2
 
 
@@ -127,6 +176,7 @@ class RSTB(nn.Module):
     depth: int
     heads: int
     window: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -134,13 +184,19 @@ class RSTB(nn.Module):
         for i in range(self.depth):
             x = SwinBlock(self.dim, self.heads, self.window,
                           shift=0 if i % 2 == 0 else self.window // 2,
-                          name=f"blocks_{i}")(x)
-        x = nn.Conv(self.dim, (3, 3), padding=1, name="conv")(x)
+                          dtype=self.dtype, name=f"blocks_{i}")(x)
+        x = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(x)
         return x + res
 
 
 class SwinIR(nn.Module):
-    """real_sr M config; input (B, H, W, 3) in [0, 1], H/W multiples of 8."""
+    """real_sr M config; input (B, H, W, 3) in [0, 1], H/W multiples of 8.
+
+    `dtype=jnp.bfloat16` runs all matmuls/convs in bf16 (params stay f32):
+    2x MXU rate + half the HBM traffic; the output returns as f32. f32
+    default keeps bit-level parity with the reference torch net
+    (tests/test_ref_parity.py::test_swinir_forward_parity)."""
 
     embed_dim: int = 180
     depths: tuple = (6, 6, 6, 6, 6, 6)
@@ -148,39 +204,45 @@ class SwinIR(nn.Module):
     window: int = 8
     scale: int = 4
     num_feat: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x - _RGB_MEAN
-        feat = nn.Conv(self.embed_dim, (3, 3), padding=1, name="conv_first")(x)
+        x = (x - _RGB_MEAN).astype(self.dtype)
+        feat = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_first")(x)
         # patch_embed norm (patch_norm=True in the reference config)
-        body = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(feat)
+        body = nn.LayerNorm(epsilon=1e-5, name="patch_norm",
+                            dtype=self.dtype)(feat)
         for i, (d, nh) in enumerate(zip(self.depths, self.heads)):
-            body = RSTB(self.embed_dim, d, nh, self.window,
+            body = RSTB(self.embed_dim, d, nh, self.window, dtype=self.dtype,
                         name=f"layers_{i}")(body)
-        body = nn.LayerNorm(epsilon=1e-5, name="norm")(body)
-        body = nn.Conv(self.embed_dim, (3, 3), padding=1,
+        body = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(body)
+        body = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_after_body")(body)
         feat = feat + body
 
         def lrelu(v):
-            return jnp.where(v >= 0, v, 0.2 * v)
+            return jnp.where(v >= 0, v, jnp.asarray(0.2, v.dtype) * v)
 
         # conv_before_upsample's activation is nn.LeakyReLU() with the torch
         # DEFAULT slope 0.01 (network_swinir.py Sequential), unlike the 0.2
         # self.lrelu used after the up convs
-        pre = nn.Conv(self.num_feat, (3, 3), padding=1,
+        pre = nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
                       name="conv_before_upsample")(feat)
-        feat = jnp.where(pre >= 0, pre, 0.01 * pre)
+        feat = jnp.where(pre >= 0, pre, jnp.asarray(0.01, pre.dtype) * pre)
         h, w = feat.shape[1], feat.shape[2]
-        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_up1")(
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1,
+                             dtype=self.dtype, name="conv_up1")(
             resize_nearest(feat, (2 * h, 2 * w))))
-        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1, name="conv_up2")(
+        feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1,
+                             dtype=self.dtype, name="conv_up2")(
             resize_nearest(feat, (4 * h, 4 * w))))
         feat = lrelu(nn.Conv(self.num_feat, (3, 3), padding=1,
-                             name="conv_hr")(feat))
-        out = nn.Conv(3, (3, 3), padding=1, name="conv_last")(feat)
-        return out + _RGB_MEAN
+                             dtype=self.dtype, name="conv_hr")(feat))
+        out = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv_last")(feat)
+        return out.astype(jnp.float32) + _RGB_MEAN
 
 
 class SwinIRUpscaler:

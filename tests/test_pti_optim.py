@@ -192,8 +192,7 @@ def test_pti_stochastic_minibatch_matches_full(tiny, rng):
     def full_loss(variables):
         c = PTICoach(net, {}, PTIConfig(**common))
         (_, m) = c._chunk_loss(variables["params"], variables["buffers"],
-                               jnp.asarray(frames),
-                               jax.nn.one_hot(jnp.asarray(labels), 12),
+                               jnp.asarray(frames), jnp.asarray(labels),
                                jnp.asarray(sv), jnp.asarray(frames))
         return float(m["loss"])
 
