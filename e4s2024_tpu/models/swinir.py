@@ -34,6 +34,14 @@ def _rel_pos_index(w: int) -> np.ndarray:
     return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
 
 
+def _kernel_interpret() -> bool:
+    """True when the Pallas attention kernel should run in interpreter mode
+    (CPU test runs; the tests conftest flips it via the ops module flag)."""
+    from e4s2024_tpu.ops import window_attention as wa
+
+    return bool(getattr(wa, "INTERPRET", False))
+
+
 class WindowAttention(nn.Module):
     dim: int
     window: int
@@ -41,59 +49,55 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
     use_kernel: bool = False
 
-    @nn.compact
-    def __call__(self, x, labels=None):
-        """x: (nW*B, w*w, C); labels: (nW, w*w) int window-region labels for
-        shifted windows (None for unshifted). The additive -100 mask is
-        computed IN-PROGRAM from the labels: materializing the dense
-        (nW, n, n) float mask as a trace-time constant costs 67 MB per
-        shifted block at 512^2 (numerically identical, the reference's
-        attn_mask, network_swinir.py calculate_mask)."""
-        bnw, n, c = x.shape
-        hd = c // self.heads
-        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(bnw, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
+    def _bias_hnn(self, n):
         table = self.param(
             "rel_bias_table", nn.initializers.normal(0.02),
             ((2 * self.window - 1) ** 2, self.heads))
         idx = jnp.asarray(_rel_pos_index(self.window))
         bias = table[idx.reshape(-1)].reshape(n, n, self.heads)
-        bias_hnn = jnp.transpose(bias, (2, 0, 1))
+        return jnp.transpose(bias, (2, 0, 1))
 
-        if self.use_kernel and self.dtype == jnp.bfloat16:
-            # fused VMEM-resident attention chain (ops/window_attention.py).
-            # OFF by default: isolated it beats the XLA chain (39.4 vs
-            # 45.1 ms at 4x512^2 on v5e) but integrated it LOSES (802 vs
-            # 545 ms/frame) — the kernel requires q/k/v materialized in
-            # (BW, H, n, 30) HBM layout, whose 30-lane minor dim tiles to
-            # 128 (4.3x padded traffic) where XLA fuses the transposes
-            # into the einsum and never materializes them. Kept for the
-            # interpret-mode oracle tests and as the base for a
-            # packed-qkv-layout kernel.
-            from e4s2024_tpu.ops.window_attention import (
-                fused_window_attention)
+    @nn.compact
+    def __call__(self, x, labels=None, nhwc=False):
+        """x: (nW*B, w*w, C) windowed — or (B, H, W, C) with nhwc=True, the
+        Pallas fast path where window partition lives in the kernel's block
+        index map (ops/window_attention.py swin_attention_nhwc). labels:
+        (nW, w*w) int window-region labels for shifted windows ((nWy, nWx,
+        w*w) in nhwc mode; None for unshifted). The additive -100 mask is
+        computed IN-PROGRAM from the labels: materializing the dense
+        (nW, n, n) float mask as a trace-time constant costs 67 MB per
+        shifted block at 512^2 (numerically identical, the reference's
+        attn_mask, network_swinir.py calculate_mask)."""
+        n = self.window * self.window
+        c = x.shape[-1]
+        hd = c // self.heads
+        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
+        bias_hnn = self._bias_hnn(n)
 
-            lab = None
-            if labels is not None:
-                lab = jnp.tile(labels.astype(jnp.int32),
-                               (bnw // labels.shape[0], 1))
-            out = fused_window_attention(q, k, v,
-                                         bias_hnn.astype(jnp.float32), lab)
-        else:
-            att = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
-            att = att + bias_hnn[None].astype(att.dtype)
-            if labels is not None:
-                nw = labels.shape[0]
-                neq = labels[:, None, :] != labels[:, :, None]  # (nW, n, n)
-                mask = jnp.where(neq, jnp.asarray(-100.0, att.dtype),
-                                 jnp.asarray(0.0, att.dtype))
-                att = att.reshape(bnw // nw, nw, self.heads, n, n) \
-                    + mask[None, :, None]
-                att = att.reshape(bnw, self.heads, n, n)
-            att = jax.nn.softmax(att, -1)
-            out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        if nhwc:
+            from e4s2024_tpu.ops.window_attention import swin_attention_nhwc
+
+            out = swin_attention_nhwc(
+                qkv, bias_hnn.astype(jnp.float32), labels,
+                window=self.window, heads=self.heads,
+                interpret=_kernel_interpret())
+            return nn.Dense(c, name="proj", dtype=self.dtype)(out)
+
+        bnw = x.shape[0]
+        qkv = qkv.reshape(bnw, n, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
+        att = att + bias_hnn[None].astype(att.dtype)
+        if labels is not None:
+            nw = labels.shape[0]
+            neq = labels[:, None, :] != labels[:, :, None]  # (nW, n, n)
+            mask = jnp.where(neq, jnp.asarray(-100.0, att.dtype),
+                             jnp.asarray(0.0, att.dtype))
+            att = att.reshape(bnw // nw, nw, self.heads, n, n) \
+                + mask[None, :, None]
+            att = att.reshape(bnw, self.heads, n, n)
+        att = jax.nn.softmax(att, -1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
@@ -144,6 +148,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: float = 2.0
     dtype: Any = jnp.float32
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -156,10 +161,19 @@ class SwinBlock(nn.Module):
                 _shift_labels(h, w, self.window, self.shift))
         else:
             labels = None
-        xw = _window_partition(x, self.window)
-        xw = WindowAttention(self.dim, self.window, self.heads,
-                             dtype=self.dtype, name="attn")(xw, labels)
-        x = _window_reverse(xw, self.window, h, w)
+        attn = WindowAttention(self.dim, self.window, self.heads,
+                               dtype=self.dtype, name="attn")
+        if self.use_kernel:
+            # Pallas NHWC path: window partition/reverse become the kernel's
+            # block index map — no HBM-materialized transposes at all
+            ws = self.window
+            lab3 = (None if labels is None
+                    else labels.reshape(h // ws, w // ws, ws * ws))
+            x = attn(x, lab3, nhwc=True)
+        else:
+            xw = _window_partition(x, self.window)
+            xw = attn(xw, labels)
+            x = _window_reverse(xw, self.window, h, w)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + x
@@ -177,6 +191,7 @@ class RSTB(nn.Module):
     heads: int
     window: int = 8
     dtype: Any = jnp.float32
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -184,7 +199,8 @@ class RSTB(nn.Module):
         for i in range(self.depth):
             x = SwinBlock(self.dim, self.heads, self.window,
                           shift=0 if i % 2 == 0 else self.window // 2,
-                          dtype=self.dtype, name=f"blocks_{i}")(x)
+                          dtype=self.dtype, use_kernel=self.use_kernel,
+                          name=f"blocks_{i}")(x)
         x = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
                     name="conv")(x)
         return x + res
@@ -205,6 +221,9 @@ class SwinIR(nn.Module):
     scale: int = 4
     num_feat: int = 64
     dtype: Any = jnp.float32
+    # route window attention through the fused Pallas kernel
+    # (ops/window_attention.py swin_attention_nhwc)
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -216,7 +235,7 @@ class SwinIR(nn.Module):
                             dtype=self.dtype)(feat)
         for i, (d, nh) in enumerate(zip(self.depths, self.heads)):
             body = RSTB(self.embed_dim, d, nh, self.window, dtype=self.dtype,
-                        name=f"layers_{i}")(body)
+                        use_kernel=self.use_kernel, name=f"layers_{i}")(body)
         body = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(body)
         body = nn.Conv(self.embed_dim, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_after_body")(body)
