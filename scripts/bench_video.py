@@ -293,16 +293,18 @@ def main():
     from e4s2024_tpu.models.swinir import (
         SwinIR, SwinIREnhancer, SwinIRUpscaler)
 
-    # bf16 compute (production enhancement config): 2x MXU rate + half HBM
-    # traffic vs f32; forward parity vs the torch net is pinned by the f32
-    # test (tests/test_ref_parity.py::test_swinir_forward_parity)
-    swin = SwinIR(dtype=jnp.bfloat16)
+    # Platform default (SwinIRUpscaler with model=None): on TPU this is the
+    # production enhancement config — bf16 compute (2x MXU rate + half HBM
+    # traffic vs f32) + the fused NHWC window-attention Pallas kernel
+    # (448 vs 544 ms/frame at 4x512^2 on v5e). Forward parity vs the torch
+    # net is pinned by the f32 test (test_ref_parity.py::test_swinir_*)
     swin_p = jax.eval_shape(
-        lambda k: swin.init(k, jnp.zeros((1, 64, 64, 3))),
+        lambda k: SwinIR().init(k, jnp.zeros((1, 64, 64, 3))),
         jax.random.PRNGKey(3))["params"]
     swin_p = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), swin_p)
-    enh = SwinIREnhancer(SwinIRUpscaler(swin_p, model=swin))
+    up = SwinIRUpscaler(swin_p)
+    enh = SwinIREnhancer(up)
     sb = min(B, 4)  # 512^2 x4 SR: 4 frames/batch bounds the 2048^2 activations
     chunk = jnp.asarray(driven_u8[:sb], jnp.float32)
     sync(enh.enhance_aligned(chunk))  # compile
@@ -360,7 +362,10 @@ def main():
             "pti_tune_seconds_80steps": round(tune_seconds, 1),
             "e2e_fps_with_80step_tuning": round(e2e_fps, 2),
             "swinir_enhance_ms_per_frame": round(swinir_ms, 1),
-            "swinir_dtype": "bfloat16",
+            "swinir_config": {
+                "dtype": str(np.dtype(up.model.dtype).name),
+                "fused_attention_kernel": bool(up.model.use_kernel),
+            },
             "target_fps": 30.0,
             "raw_file_to_file": raw,
             "raw_file_to_file_swinir": raw_swinir,
