@@ -264,26 +264,120 @@ class SwinIR(nn.Module):
         return out.astype(jnp.float32) + _RGB_MEAN
 
 
+def _conv3x3(x, p, dtype):
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["kernel"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + p["bias"].astype(dtype)
+
+
+def _layer_norm(x, p, dtype):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    return (out * p["scale"] + p["bias"]).astype(dtype)
+
+
+def _block_weights(bp, window, heads):
+    """SwinBlock param subtree -> the flat dict fused_swin_block takes."""
+    n = window * window
+    table = bp["attn"]["rel_bias_table"]
+    idx = jnp.asarray(_rel_pos_index(window))
+    bias = table[idx.reshape(-1)].reshape(n, n, heads)
+    return {
+        "ln1_scale": bp["norm1"]["scale"], "ln1_bias": bp["norm1"]["bias"],
+        "qkv_w": bp["attn"]["qkv"]["kernel"],
+        "qkv_b": bp["attn"]["qkv"]["bias"],
+        "proj_w": bp["attn"]["proj"]["kernel"],
+        "proj_b": bp["attn"]["proj"]["bias"],
+        "bias_hnn": jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32),
+        "ln2_scale": bp["norm2"]["scale"], "ln2_bias": bp["norm2"]["bias"],
+        "fc1_w": bp["fc1"]["kernel"], "fc1_b": bp["fc1"]["bias"],
+        "fc2_w": bp["fc2"]["kernel"], "fc2_b": bp["fc2"]["bias"],
+    }
+
+
+def apply_fused(model: "SwinIR", params, x, interpret=False):
+    """SwinIR forward with every SwinBlock as ONE fused Pallas kernel
+    (ops/swin_block.py) — x read once / written once per block instead of
+    ~15 HBM round-trips. Numerically equivalent to `model.apply` (LN stats
+    f32, matmuls f32-accumulated; tests/test_swin_fused.py pins it).
+
+    Shifted blocks roll x before/after the kernel: the cyclic shift commutes
+    with LN/MLP/residual, so only the attention's region-label mask differs
+    (reference network_swinir.py SwinTransformerBlock.forward)."""
+    from e4s2024_tpu.ops.swin_block import fused_swin_block
+
+    dtype = model.dtype
+    ws = model.window
+    x = (jnp.asarray(x, jnp.float32) - _RGB_MEAN).astype(dtype)
+    feat = _conv3x3(x, params["conv_first"], dtype)
+    body = _layer_norm(feat, params["patch_norm"], dtype)
+    b, h, w, c = body.shape
+    for i, (depth, nh) in enumerate(zip(model.depths, model.heads)):
+        lp = params[f"layers_{i}"]
+        res = body
+        for j in range(depth):
+            shift = 0 if j % 2 == 0 else ws // 2
+            wts = _block_weights(lp[f"blocks_{j}"], ws, nh)
+            if shift:
+                body = jnp.roll(body, (-shift, -shift), axis=(1, 2))
+                labels = jnp.asarray(
+                    _shift_labels(h, w, ws, shift)).reshape(
+                        h // ws, w // ws, ws * ws)
+            else:
+                labels = None
+            body = fused_swin_block(body, wts, labels, window=ws, heads=nh,
+                                    interpret=interpret)
+            if shift:
+                body = jnp.roll(body, (shift, shift), axis=(1, 2))
+        body = _conv3x3(body, lp["conv"], dtype) + res
+    body = _layer_norm(body, params["norm"], dtype)
+    feat = feat + _conv3x3(body, params["conv_after_body"], dtype)
+
+    def lrelu(v, slope):
+        return jnp.where(v >= 0, v, jnp.asarray(slope, v.dtype) * v)
+
+    feat = lrelu(_conv3x3(feat, params["conv_before_upsample"], dtype), 0.01)
+    feat = lrelu(_conv3x3(resize_nearest(feat, (2 * h, 2 * w)),
+                          params["conv_up1"], dtype), 0.2)
+    feat = lrelu(_conv3x3(resize_nearest(feat, (4 * h, 4 * w)),
+                          params["conv_up2"], dtype), 0.2)
+    feat = lrelu(_conv3x3(feat, params["conv_hr"], dtype), 0.2)
+    out = _conv3x3(feat, params["conv_last"], dtype)
+    return out.astype(jnp.float32) + _RGB_MEAN
+
+
 class SwinIRUpscaler:
     """x4 upscale of [0,255] images with window-size padding (reference
     image_infer.py:50-66)."""
 
-    def __init__(self, params: dict, model: SwinIR | None = None):
+    def __init__(self, params: dict, model: SwinIR | None = None,
+                 fused: bool | None = None):
         from e4s2024_tpu.utils.packing import jit_with_packed_params
 
-        if model is None:
+        on_cpu = jax.default_backend() == "cpu"
+        if fused is None:
             # Production default is platform-aware: on an accelerator, bf16
-            # compute + the fused NHWC window-attention kernel (448 vs 993
-            # ms/frame f32-XLA at 4x512^2 on v5e, round 4); plain f32 XLA on
-            # CPU where the Pallas kernel only runs interpreted.
-            on_cpu = jax.default_backend() == "cpu"
-            model = SwinIR() if on_cpu else SwinIR(
-                dtype=jnp.bfloat16, use_kernel=True)
+            # compute with the whole SwinBlock as one Pallas kernel
+            # (ops/swin_block.py — the attention-only kernel left the model
+            # HBM-bound at 58% BW / 8% MFU; block fusion cuts body traffic
+            # ~7x). Plain f32 XLA on CPU, where Pallas only runs interpreted
+            # and f32 keeps bit-parity with the reference torch net.
+            fused = not on_cpu
+        if model is None:
+            model = SwinIR() if on_cpu else SwinIR(dtype=jnp.bfloat16)
         self.model = model
         self.params = params
+        self.fused = fused
+        if fused:
+            fwd = lambda p, x: apply_fused(
+                self.model, p, x, interpret=_kernel_interpret())
+        else:
+            fwd = lambda p, x: self.model.apply({"params": p}, x)
         # packed params: per-leaf argument marshalling costs ~10 us/leaf/call
-        self._fwd = jit_with_packed_params(
-            lambda p, x: self.model.apply({"params": p}, x), params)
+        self._fwd = jit_with_packed_params(fwd, params)
 
     def upscale(self, img255: jnp.ndarray) -> jnp.ndarray:
         x = jnp.asarray(img255, jnp.float32) / 255.0
