@@ -31,6 +31,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def _erf(x):
+    """f32 erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7): Pallas TPU
+    has no erf/erfc lowering, and 1.5e-7 is far below bf16 resolution."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact (erf-form) GELU, matching jax.nn.gelu(approximate=False) /
+    torch nn.GELU() to ~1e-7 — the reference SwinIR's activation."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
 def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, bias_ref, lab_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, o_ref, *, window, heads, masked, eps):
@@ -47,17 +66,21 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     t = t.reshape(w, g, w, c).swapaxes(0, 1).reshape(g, n, c)
 
     def layer_norm(v, s_ref, b_ref):
+        # single pass: var = E[x^2] - mu^2 (f32 stats; values are O(1))
         vf = v.astype(jnp.float32)
         mu = jnp.mean(vf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(vf - mu), axis=-1, keepdims=True)
+        var = jnp.mean(vf * vf, axis=-1, keepdims=True) - mu * mu
         out = (vf - mu) * jax.lax.rsqrt(var + eps)
         return (out * s_ref[0] + b_ref[0]).astype(cdtype)
 
+    # projections accumulate f32 on the MXU but store cdtype (what the XLA
+    # Dense path emits in bf16 mode) — the f32 buffers were the VMEM bound:
+    # g=32 measured 16.8 MB scoped with f32 stores, ~11 MB with cdtype
     ln1 = layer_norm(t, ln1s_ref, ln1b_ref)          # (g, n, C)
     qkv = jax.lax.dot_general(
         ln1, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0]).astype(cdtype)         # (g, n, 3C)
+        preferred_element_type=cdtype)
+    qkv = qkv + bqkv_ref[0].astype(cdtype)           # (g, n, 3C)
 
     outs = []
     for h in range(heads):
@@ -80,18 +103,19 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     attn = jnp.concatenate(outs, axis=-1)            # (g, n, C)
     attn = jax.lax.dot_general(
         attn, wproj_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    y = t + (attn + bproj_ref[0]).astype(cdtype)     # residual 1
+        preferred_element_type=cdtype)
+    y = t + attn + bproj_ref[0].astype(cdtype)       # residual 1
 
     ln2 = layer_norm(y, ln2s_ref, ln2b_ref)
     h1 = jax.lax.dot_general(
         ln2, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    h1 = jax.nn.gelu(h1 + b1_ref[0], approximate=False).astype(cdtype)
+        preferred_element_type=cdtype)
+    h1 = _gelu_exact((h1 + b1_ref[0].astype(cdtype)
+                      ).astype(jnp.float32)).astype(cdtype)
     h2 = jax.lax.dot_general(
         h1, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out = y + (h2 + b2_ref[0]).astype(cdtype)        # residual 2
+        preferred_element_type=cdtype)
+    out = y + h2 + b2_ref[0].astype(cdtype)          # residual 2
 
     out = out.reshape(g, w, w, c).swapaxes(0, 1).reshape(w, gw, c)
     o_ref[0] = out
@@ -116,9 +140,10 @@ def fused_swin_block(x, wts, labels=None, *, window, heads, interpret=False):
     nwy, nwx = hh // window, ww // window
     cdtype = x.dtype
 
-    # G windows per grid step: bounded by VMEM (all fused intermediates are
-    # live per step; 32 windows x 64 tokens = 2048 token rows keeps the
-    # working set ~7 MB at C=180 bf16, inside the 16 MB scoped-vmem limit)
+    # G windows per grid step: bounded by VMEM — all fused intermediates are
+    # live per step (16.8 MB scoped at G=32 when the projections stored f32;
+    # cdtype stores bring it under the 16 MB v5e limit with room for double
+    # buffering). Larger G = larger MXU matmuls and fewer grid steps.
     gmax = 32
     g = next(gg for gg in range(min(gmax, nwx), 0, -1) if nwx % gg == 0)
     masked = labels is not None

@@ -294,10 +294,10 @@ def main():
         SwinIR, SwinIREnhancer, SwinIRUpscaler)
 
     # Platform default (SwinIRUpscaler with model=None): on TPU this is the
-    # production enhancement config — bf16 compute (2x MXU rate + half HBM
-    # traffic vs f32) + the fused NHWC window-attention Pallas kernel
-    # (448 vs 544 ms/frame at 4x512^2 on v5e). Forward parity vs the torch
-    # net is pinned by the f32 test (test_ref_parity.py::test_swinir_*)
+    # production enhancement config — bf16 compute + the fully-fused
+    # SwinBlock Pallas kernel (ops/swin_block.py: one HBM round-trip per
+    # block vs ~15 on the XLA path). Forward parity vs the torch net is
+    # pinned by the f32 test (test_ref_parity.py::test_swinir_*)
     swin_p = jax.eval_shape(
         lambda k: SwinIR().init(k, jnp.zeros((1, 64, 64, 3))),
         jax.random.PRNGKey(3))["params"]
@@ -364,6 +364,7 @@ def main():
             "swinir_enhance_ms_per_frame": round(swinir_ms, 1),
             "swinir_config": {
                 "dtype": str(np.dtype(up.model.dtype).name),
+                "fused_block_kernel": bool(up.fused),
                 "fused_attention_kernel": bool(up.model.use_kernel),
             },
             "target_fps": 30.0,
