@@ -35,8 +35,9 @@ def _rel_pos_index(w: int) -> np.ndarray:
 
 
 def _kernel_interpret() -> bool:
-    """True when the Pallas attention kernel should run in interpreter mode
-    (CPU test runs; the tests conftest flips it via the ops module flag)."""
+    """True when the Pallas attention kernel should run in interpreter mode.
+    CPU tests opt in by setting `ops.window_attention.INTERPRET = True`
+    directly (see tests/test_window_attention.py / test_swin_fused.py)."""
     from e4s2024_tpu.ops import window_attention as wa
 
     return bool(getattr(wa, "INTERPRET", False))
@@ -357,17 +358,18 @@ class SwinIRUpscaler:
                  fused: bool | None = None):
         from e4s2024_tpu.utils.packing import jit_with_packed_params
 
-        on_cpu = jax.default_backend() == "cpu"
+        on_tpu = jax.default_backend() == "tpu"
         if fused is None:
-            # Production default is platform-aware: on an accelerator, bf16
-            # compute with the whole SwinBlock as one Pallas kernel
+            # Production default is platform-aware: on TPU, bf16 compute
+            # with the whole SwinBlock as one Pallas kernel
             # (ops/swin_block.py — the attention-only kernel left the model
             # HBM-bound at 58% BW / 8% MFU; block fusion cuts body traffic
-            # ~7x). Plain f32 XLA on CPU, where Pallas only runs interpreted
-            # and f32 keeps bit-parity with the reference torch net.
-            fused = not on_cpu
+            # ~7x). Plain f32 XLA everywhere else (CPU keeps bit-parity with
+            # the reference torch net; a CUDA/ROCm backend must not route
+            # through a Mosaic-lowered TPU kernel).
+            fused = on_tpu
         if model is None:
-            model = SwinIR() if on_cpu else SwinIR(dtype=jnp.bfloat16)
+            model = SwinIR(dtype=jnp.bfloat16) if on_tpu else SwinIR()
         self.model = model
         self.params = params
         self.fused = fused
@@ -378,6 +380,30 @@ class SwinIRUpscaler:
             fwd = lambda p, x: self.model.apply({"params": p}, x)
         # packed params: per-leaf argument marshalling costs ~10 us/leaf/call
         self._fwd = jit_with_packed_params(fwd, params)
+        self._xla_fwd = None if not fused else jit_with_packed_params(
+            lambda p, x: self.model.apply({"params": p}, x), params)
+
+    def _forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Kernel forward with automatic XLA fallback: if the Pallas kernel
+        fails to lower/execute on the running jaxlib (Mosaic version skew),
+        permanently fall back to the plain XLA program rather than sinking
+        the pipeline — the two paths are numerically equivalent within bf16
+        accumulation (tests/test_swin_fused.py; on-chip delta recorded in
+        BENCH_VIDEO.json kernel_numerics)."""
+        if not self.fused:
+            return self._fwd(x)
+        try:
+            return self._fwd(x)
+        except Exception as e:  # Mosaic lowering/runtime failure
+            import warnings
+
+            warnings.warn(
+                f"fused SwinBlock kernel failed on this jaxlib "
+                f"({type(e).__name__}: {str(e)[:200]}); falling back to the "
+                f"XLA path permanently for this upscaler")
+            self.fused = False
+            self._fwd = self._xla_fwd
+            return self._fwd(x)
 
     def upscale(self, img255: jnp.ndarray) -> jnp.ndarray:
         x = jnp.asarray(img255, jnp.float32) / 255.0
@@ -388,7 +414,7 @@ class SwinIRUpscaler:
         if hp or wp:
             x = jnp.concatenate([x, jnp.flip(x[:, -hp:], 1)], 1) if hp else x
             x = jnp.concatenate([x, jnp.flip(x[:, :, -wp:], 2)], 2) if wp else x
-        out = self._fwd(x)
+        out = self._forward(x)
         out = out[:, : h * self.model.scale, : w * self.model.scale]
         return jnp.clip(out * 255.0, 0, 255)
 

@@ -73,13 +73,14 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         out = (vf - mu) * jax.lax.rsqrt(var + eps)
         return (out * s_ref[0] + b_ref[0]).astype(cdtype)
 
-    # projections accumulate f32 on the MXU but store cdtype (what the XLA
-    # Dense path emits in bf16 mode) — the f32 buffers were the VMEM bound:
-    # g=32 measured 16.8 MB scoped with f32 stores, ~11 MB with cdtype
+    # projections accumulate f32 on the MXU (Mosaic requires a 32-bit
+    # matmul acc) and immediately cast the result to cdtype — the persistent
+    # buffers stay cdtype (the f32 stores were the VMEM bound: g=32 measured
+    # 16.8 MB scoped with f32 stores, ~11 MB with cdtype)
     ln1 = layer_norm(t, ln1s_ref, ln1b_ref)          # (g, n, C)
     qkv = jax.lax.dot_general(
         ln1, wqkv_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=cdtype)
+        preferred_element_type=jnp.float32).astype(cdtype)
     qkv = qkv + bqkv_ref[0].astype(cdtype)           # (g, n, 3C)
 
     outs = []
@@ -103,18 +104,17 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     attn = jnp.concatenate(outs, axis=-1)            # (g, n, C)
     attn = jax.lax.dot_general(
         attn, wproj_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=cdtype)
+        preferred_element_type=jnp.float32).astype(cdtype)
     y = t + attn + bproj_ref[0].astype(cdtype)       # residual 1
 
     ln2 = layer_norm(y, ln2s_ref, ln2b_ref)
     h1 = jax.lax.dot_general(
         ln2, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=cdtype)
-    h1 = _gelu_exact((h1 + b1_ref[0].astype(cdtype)
-                      ).astype(jnp.float32)).astype(cdtype)
+        preferred_element_type=jnp.float32)
+    h1 = _gelu_exact(h1 + b1_ref[0]).astype(cdtype)
     h2 = jax.lax.dot_general(
         h1, w2_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=cdtype)
+        preferred_element_type=jnp.float32).astype(cdtype)
     out = y + h2 + b2_ref[0].astype(cdtype)          # residual 2
 
     out = out.reshape(g, w, w, c).swapaxes(0, 1).reshape(w, gw, c)
@@ -141,10 +141,11 @@ def fused_swin_block(x, wts, labels=None, *, window, heads, interpret=False):
     cdtype = x.dtype
 
     # G windows per grid step: bounded by VMEM — all fused intermediates are
-    # live per step (16.8 MB scoped at G=32 when the projections stored f32;
-    # cdtype stores bring it under the 16 MB v5e limit with room for double
-    # buffering). Larger G = larger MXU matmuls and fewer grid steps.
-    gmax = 32
+    # live per step. Measured on v5e: G=32 allocates 16.98 MB scoped (over
+    # the 16 MB limit — the f32 matmul accumulators Mosaic requires are the
+    # bound); G=16 fits with double-buffering headroom. Larger G = larger
+    # MXU matmuls and fewer grid steps.
+    gmax = 16
     g = next(gg for gg in range(min(gmax, nwx), 0, -1) if nwx % gg == 0)
     masked = labels is not None
     if not masked:

@@ -22,10 +22,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-# flipped to True by the CPU test conftest so model-level forwards that route
-# through the kernel run in the Pallas interpreter
+# Module-level interpreter toggle: tests that exercise the kernel on CPU set
+# `window_attention.INTERPRET = True` directly (see tests/test_window_attention.py)
+# so model-level forwards that route through the kernel run in the Pallas
+# interpreter instead of requiring a Mosaic lowering.
 INTERPRET = False
 
 

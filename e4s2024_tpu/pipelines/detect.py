@@ -45,6 +45,23 @@ from e4s2024_tpu.pipelines.alignment import crop_quad
 from e4s2024_tpu.utils.packing import pack_pytree, unpack_pytree
 
 
+def pad_to_chunk(arr, chunk: int):
+    """Pad a stack's leading axis up to a multiple of `chunk` by repeating
+    the last row, so chunked jitted programs keep ONE compiled shape per
+    clip (an uneven trailing chunk would otherwise compile an extra program
+    for every stage it flows through). Returns (padded, original_length)."""
+    n = arr.shape[0]
+    rem = n % chunk
+    if rem == 0:
+        return arr, n
+    reps = [1] * arr.ndim
+    reps[0] = chunk - rem
+    pad = jnp.tile(arr[-1:], reps) if isinstance(arr, jnp.ndarray) \
+        else np.tile(np.asarray(arr)[-1:], reps)
+    cat = jnp.concatenate if isinstance(arr, jnp.ndarray) else np.concatenate
+    return cat([arr, pad]), n
+
+
 def pairwise_iou(boxes: jnp.ndarray, offset: float = 0.0) -> jnp.ndarray:
     """(K, 4) xyxy boxes -> (K, K) IoU matrix. offset=1.0 reproduces the
     reference's legacy inclusive-pixel convention (py_cpu_nms.py: areas and
@@ -171,15 +188,15 @@ class RetinaFaceDetector:
         suppressed rows carrying score 0. One jitted program
         per `chunk` frames — the per-frame dispatch floor of the tunneled
         transport amortizes across the chunk."""
-        frames = jnp.asarray(frames)
+        frames, n = pad_to_chunk(jnp.asarray(frames), chunk)
         outs = []
         for i in range(0, frames.shape[0], chunk):
             imgs, scale = self._preprocess(frames[i:i + chunk])
             b, sc, lm = self._run_batch(self._packed, imgs)
             outs.append((b / scale, sc, lm / scale))
-        boxes = np.concatenate([jax.device_get(o[0]) for o in outs])
-        scores = np.concatenate([jax.device_get(o[1]) for o in outs])
-        lm5 = np.concatenate([jax.device_get(o[2]) for o in outs])
+        boxes = np.concatenate([jax.device_get(o[0]) for o in outs])[:n]
+        scores = np.concatenate([jax.device_get(o[1]) for o in outs])[:n]
+        lm5 = np.concatenate([jax.device_get(o[2]) for o in outs])[:n]
         return boxes, scores, lm5
 
 
@@ -265,14 +282,17 @@ class FANLandmarker:
         cs = [self.box_to_center_side(b) for b in boxes]
         centers = np.stack([c for c, _ in cs]).astype(np.float32)
         sides = np.array([s for _, s in cs], np.float32)
-        frames = jnp.asarray(frames)
+        frames, n = pad_to_chunk(jnp.asarray(frames), chunk)
+        centers, _ = pad_to_chunk(centers, chunk)
+        sides, _ = pad_to_chunk(sides, chunk)
         outs = []
         for i in range(0, frames.shape[0], chunk):
             outs.append(self._run_video(
                 self._packed, frames[i:i + chunk],
                 jnp.asarray(centers[i:i + chunk]),
                 jnp.asarray(sides[i:i + chunk])))
-        return np.concatenate([np.asarray(jax.device_get(o)) for o in outs])
+        return np.concatenate(
+            [np.asarray(jax.device_get(o)) for o in outs])[:n]
 
 
 class FaceLandmarkDetector:

@@ -140,8 +140,19 @@ class FaceSwapVideoPipeline:
         same_size = len({f.shape for f in frames}) == 1
         if same_size and hasattr(landmark_fn, "landmarks_video"):
             stack = np.stack(frames)
-            lms, _ = landmark_fn.landmarks_video(
+            lms, scores = landmark_fn.landmarks_video(
                 stack, chunk=self.cfg.frames_per_batch * 4)
+            # honor the stack's confidence floor: the per-frame path returns
+            # None (and fails loudly downstream) for no-face frames; the
+            # batched path must not silently swap on a score-0 detection
+            min_score = getattr(landmark_fn, "min_score", None)
+            if min_score is not None:
+                bad = np.flatnonzero(np.asarray(scores) < min_score)
+                if bad.size:
+                    raise ValueError(
+                        f"no face above score {min_score} in frames "
+                        f"{bad[:8].tolist()}{'...' if bad.size > 8 else ''} "
+                        f"({bad.size}/{len(frames)} frames)")
         else:
             lms = [landmark_fn(f) for f in frames]
         cs, xs, ys = [], [], []
@@ -151,13 +162,15 @@ class FaceSwapVideoPipeline:
         quads = smooth_video_quads(cs, xs, ys, self.cfg.center_sigma,
                                    self.cfg.xy_sigma)
         if same_size:
-            frames_arr = jnp.asarray(np.stack(frames))
-            quads_arr = jnp.asarray(np.stack(quads) + 0.5, jnp.float32)
+            from e4s2024_tpu.pipelines.detect import pad_to_chunk
             b = self.cfg.frames_per_batch * 4
+            frames_arr, n = pad_to_chunk(jnp.asarray(np.stack(frames)), b)
+            quads_arr, _ = pad_to_chunk(
+                jnp.asarray(np.stack(quads) + 0.5, jnp.float32), b)
             crops = np.concatenate([
                 np.asarray(_crop_quads_jit(frames_arr[i:i + b],
                                            quads_arr[i:i + b], s))
-                for i in range(0, len(frames), b)])
+                for i in range(0, frames_arr.shape[0], b)])[:n]
         else:
             crops = np.stack([
                 np.asarray(crop_quad(jnp.asarray(f, jnp.float32),

@@ -61,3 +61,22 @@ def test_enhancer_same_size_contract(tiny_swinir, rng):
     out = np.asarray(enh.enhance_aligned(x))
     assert out.shape == x.shape
     assert out.min() >= 0 and out.max() <= 255 and np.isfinite(out).all()
+
+
+def test_upscaler_kernel_fallback(tiny_swinir, rng):
+    """fused=True on CPU cannot Mosaic-lower: the upscaler must warn, flip
+    to the XLA path permanently, and still return a correct result
+    (models/swinir.py SwinIRUpscaler._forward)."""
+    import warnings
+
+    model, params = tiny_swinir
+    up = SwinIRUpscaler(params, model=model, fused=True)
+    x = (rng.random((1, 16, 16, 3)) * 255).astype(np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = np.asarray(up.upscale(x))
+    assert any("falling back" in str(x.message) for x in w)
+    assert not up.fused
+    ref = np.asarray(SwinIRUpscaler(params, model=model,
+                                    fused=False).upscale(x))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
