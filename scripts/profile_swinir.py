@@ -17,10 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -28,7 +30,10 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--variants", default="xla_bf16,attn_kern,fused")
+    ap.add_argument("--variants", default="xla_f32,xla_bf16,attn_kern,fused")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SWINIR.json"))
     args = ap.parse_args()
 
     from e4s2024_tpu.models.swinir import SwinIR, SwinIRUpscaler, apply_fused
@@ -61,18 +66,23 @@ def main():
                 lambda p, v: apply_fused(m, p, v), params)
         raise ValueError(name)
 
+    def sync(out):
+        # fetch ONE element: forces completion without timing the tunnel
+        # fetch of the whole image (block_until_ready doesn't sync on axon)
+        return float(np.asarray(out.ravel()[0]))
+
     results = {}
     for name in args.variants.split(","):
         name = name.strip()
         try:
             fwd = build(name)
             t0 = time.perf_counter()
-            fwd(x).block_until_ready()
+            sync(fwd(x))
             compile_s = time.perf_counter() - t0
             best = float("inf")
             for _ in range(args.iters):
                 t0 = time.perf_counter()
-                fwd(x).block_until_ready()
+                sync(fwd(x))
                 best = min(best, time.perf_counter() - t0)
             ms_frame = best / args.batch * 1e3
             cost = program_mfu(fwd, best, x)
@@ -89,7 +99,19 @@ def main():
         except Exception as e:  # a failing variant must not sink the rest
             results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
             print(name, "ERROR", results[name]["error"])
-    print(json.dumps(results))
+    rec = {
+        "metric": "swinir_x4_sr_ms_per_frame",
+        "config": {"size": args.size, "batch": args.batch},
+        "variants": results,
+        "note": ("XLA cost_analysis treats the Pallas tpu_custom_call as "
+                 "opaque: the fused variant's flops/bytes rows exclude the "
+                 "kernel body — see docs/ROOFLINE.md for the corrected "
+                 "fused-variant MFU/BW derivation"),
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
