@@ -428,12 +428,27 @@ class SwinIREnhancer:
     dict of `FullFaceSwapPipeline` / the video pipeline's `enhancer` hook with
     the same (B, S, S, 3) [0,255] -> same-shape contract as GPENEnhancer."""
 
-    def __init__(self, upscaler: "SwinIRUpscaler"):
+    def __init__(self, upscaler: "SwinIRUpscaler", max_batch: int = 4):
         self.upscaler = upscaler
+        # x4 SR of a 512^2 crop materializes 2048^2 activations: ~12 GB of
+        # bf16 body features at batch 8 — over v5e HBM (measured: the batch-8
+        # program fails to compile). Chunk internally so callers can hand any
+        # batch (the video pipeline batches 8 frames per stage).
+        self.max_batch = max_batch
 
     def enhance_aligned(self, crops255: jnp.ndarray) -> jnp.ndarray:
         from e4s2024_tpu.ops.resize import resize_bilinear
 
         h, w = crops255.shape[1], crops255.shape[2]
+        b = crops255.shape[0]
+        if b > self.max_batch:
+            m = self.max_batch
+            pad = (b + m - 1) // m * m - b  # pad the trailing chunk so every
+            if pad:                         # chunk compiles to ONE shape
+                crops255 = jnp.concatenate(
+                    [crops255, jnp.repeat(crops255[-1:], pad, 0)])
+            return jnp.concatenate([
+                self.enhance_aligned(crops255[i:i + m])
+                for i in range(0, b + pad, m)])[:b]
         out = self.upscaler.upscale(crops255)
         return resize_bilinear(out, (h, w))

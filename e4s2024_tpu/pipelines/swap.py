@@ -37,7 +37,7 @@ from e4s2024_tpu.models.rgi import RGINet
 from e4s2024_tpu.ops.blend import laplacian_pyramid_blend_planar, soft_erosion_planar
 from e4s2024_tpu.ops.morphology import dilation_planar
 from e4s2024_tpu.ops.resize import resize_bilinear, resize_bilinear_planar
-from e4s2024_tpu.utils.packing import pack_pytree, unpack_pytree
+from e4s2024_tpu.utils.packing import BoundJit, pack_pytree, unpack_pytree
 from e4s2024_tpu.pipelines.mask_merge import swap_head_mask, swap_comp_style_vector
 from e4s2024_tpu.pipelines.alignment import (
     compute_transform_from_landmarks,
@@ -147,14 +147,15 @@ class FaceSwapper:
         self._merge_p_jit = jax.jit(
             lambda packed, dm, tm, dsv, tsv, t: self._merge_synth_composite_p(
                 rgi_p(packed), dm, tm, dsv, tsv, t))
-        self._parse_jit = lambda x: self._parse_p_jit(self._packed, x)
-        self._invert_jit = (lambda img, oh: self._invert_p_jit(
-            self._packed, img, oh))
-        self._synth_jit = (lambda sv, m, hm, t: self._synth_p_jit(
-            self._packed, sv, m, hm, t))
-        self._pair_jit = (lambda pair: self._pair_p_jit(self._packed, pair))
-        self._merge_jit = (lambda dm, tm, dsv, tsv, t: self._merge_p_jit(
-            self._packed, dm, tm, dsv, tsv, t))
+        # BoundJit exposes .jitted/.bound_args so cost analysis lowers the
+        # underlying program with the packed weights as ARGUMENTS (re-jitting
+        # the closure would constant-fold the weights into the HLO payload)
+        bound = lambda jfn: BoundJit(jfn, lambda: self._packed)
+        self._parse_jit = bound(self._parse_p_jit)
+        self._invert_jit = bound(self._invert_p_jit)
+        self._synth_jit = bound(self._synth_p_jit)
+        self._pair_jit = bound(self._pair_p_jit)
+        self._merge_jit = bound(self._merge_p_jit)
         if config.jit_mode == "fused":
             self._swap_fused_jit = jax.jit(
                 lambda packed, d, t: self._swap_aligned_p(*both_p(packed), d, t))

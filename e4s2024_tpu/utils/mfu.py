@@ -47,10 +47,15 @@ def program_cost(fn, *args, **kwargs) -> dict:
     analysis: {"flops": float, "bytes_accessed": float} (0.0 when the backend
     does not expose a counter).
 
-    `fn` may be a jitted function or a plain callable (it is jitted here).
-    The compile hits the persistent cache when the program was already
-    compiled this process/session.
+    `fn` may be a jitted function, a packed-params callable
+    (utils/packing.BoundJit / jit_with_packed_params — unwrapped so the
+    weights lower as ARGUMENTS, not hundreds of MB of HLO constants), or a
+    plain callable (jitted here). The compile hits the persistent cache when
+    the program was already compiled this process/session.
     """
+    if hasattr(fn, "jitted") and hasattr(fn, "bound_args"):
+        args = (*fn.bound_args, *args)
+        fn = fn.jitted
     jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
     compiled = jfn.lower(*args, **kwargs).compile()
     costs = compiled.cost_analysis()

@@ -51,6 +51,30 @@ def unpack_pytree(buffers, meta):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+class BoundJit:
+    """Callable that binds leading args (e.g. packed weight buffers) to a
+    jitted fn while exposing `.jitted` / `.bound_args`, so cost analysis
+    (utils/mfu.program_cost) can lower the UNDERLYING program with the
+    weights as arguments. Re-jitting the bound closure would bake the packed
+    buffers into the HLO as literal constants — a hundreds-of-MB program
+    payload on remote-compile transports.
+
+    `get_bound` is called per use so rebindable state (FaceSwapper repacks
+    on weight assignment) stays live."""
+
+    def __init__(self, jfn, get_bound):
+        self.jitted = jfn
+        self._get_bound = get_bound
+
+    @property
+    def bound_args(self):
+        b = self._get_bound()
+        return b if isinstance(b, tuple) else (b,)
+
+    def __call__(self, *a, **kw):
+        return self.jitted(*self.bound_args, *a, **kw)
+
+
 def jit_with_packed_params(fn, params):
     """jax.jit(fn) with `params` packed once into per-dtype buffers.
 
@@ -61,4 +85,11 @@ def jit_with_packed_params(fn, params):
     """
     packed, meta = pack_pytree(params)
     jfn = jax.jit(lambda pk, *a: fn(unpack_pytree(pk, meta), *a))
-    return lambda *a: jfn(packed, *a)
+    call = lambda *a: jfn(packed, *a)
+    # cost-analysis hooks (utils/mfu.program_cost): lower the UNDERLYING
+    # jitted fn with the packed buffers as ARGUMENTS. Re-jitting the closure
+    # would bake the weights into the HLO as literal constants — a
+    # hundreds-of-MB program upload on remote-compile transports.
+    call.jitted = jfn
+    call.bound_args = (packed,)
+    return call

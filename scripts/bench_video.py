@@ -304,11 +304,14 @@ def main():
     # SwinBlock Pallas kernel (ops/swin_block.py: one HBM round-trip per
     # block vs ~15 on the XLA path). Forward parity vs the torch net is
     # pinned by the f32 test (test_ref_parity.py::test_swinir_*)
-    swin_p = jax.eval_shape(
-        lambda k: SwinIR().init(k, jnp.zeros((1, 64, 64, 3))),
-        jax.random.PRNGKey(3))["params"]
-    swin_p = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), swin_p)
+    # REAL flax init (LN scale=1, trunc-normal weights): the on-chip
+    # kernel-numerics comparison below is only meaningful with non-degenerate
+    # weights — all-zero params made every path emit the same constant
+    # (max|delta| trivially 0.0). Init runs once on CPU, ~seconds.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        swin_p = SwinIR().init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))["params"]
+    swin_p = jax.device_put(swin_p, jax.devices()[0])
     up = SwinIRUpscaler(swin_p)
     enh = SwinIREnhancer(up)
     sb = min(B, 4)  # 512^2 x4 SR: 4 frames/batch bounds the 2048^2 activations
@@ -364,14 +367,16 @@ def main():
         for _ in range(4):
             o = sw._merge_jit(*merge_ex)
         sync(o["image"]); merge_s = (time.perf_counter() - t0) / 4
+        # _pair_jit/_merge_jit/_fwd are packed-param callables: program_mfu
+        # unwraps them and lowers the weights as ARGUMENTS (a re-jit of the
+        # closure would constant-fold ~200 MB of weights into the HLO upload)
         mfu["pair_parse_invert_B8"] = program_mfu(sw._pair_jit, pair_s,
                                                   pair_ex)
         mfu["merge_synth_composite_B8"] = program_mfu(sw._merge_jit, merge_s,
                                                       *merge_ex)
         swin_in = jnp.zeros((sb, 512, 512, 3))
         mfu["swinir_x4_512"] = program_mfu(
-            lambda x: enh.upscaler._fwd(x / 255.0),
-            swinir_ms * sb / 1e3, swin_in)
+            enh.upscaler._fwd, swinir_ms * sb / 1e3, swin_in / 255.0)
     except Exception as e:
         mfu["error"] = f"{type(e).__name__}: {e}"[:200]
 
