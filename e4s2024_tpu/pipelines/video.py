@@ -3,9 +3,16 @@
 Re-design of the reference's 9-stage `FaceSwapVideoPipeline`
 (reference face_swap_video_pipeline.py:71): where the reference round-trips
 every stage through the filesystem (imgs/, mask/, styleVec/ folders —
-SURVEY.md §3.3), this pipeline keeps all frames resident as arrays and batches
-every per-frame stage (parse, inversion, synthesis, compositing) so the frame
-axis can shard across the device mesh.
+SURVEY.md §3.3), this pipeline keeps all frames resident as DEVICE arrays and
+batches every per-frame stage (parse, inversion, synthesis, compositing) so
+the frame axis can shard across the device mesh.
+
+Device residency is the transport contract: the clip crosses host->device
+ONCE (uint8 stack), every stage consumes/produces device arrays, and only the
+final composed frames cross back (async copies overlapped with the remaining
+chunks' compute). On tunneled transports the measured link is strongly
+asymmetric (H2D ~700 MB/s, D2H can degrade to ~1 MB/s), so intermediate
+D2H round-trips — not compute — dominated the naive per-stage-numpy design.
 
 Stages:
   1. crop+align all frames with temporally smoothed quads    (:181-210)
@@ -38,13 +45,14 @@ from e4s2024_tpu.pipelines.alignment import (
     smooth_video_quads,
     warp_perspective,
 )
+from e4s2024_tpu.pipelines.detect import pad_to_chunk
 from e4s2024_tpu.pipelines.mask_merge import swap_comp_style_vector, swap_head_mask
 from e4s2024_tpu.pipelines.swap import FaceSwapper, SwapConfig
 from e4s2024_tpu.models.rgi import RGINet
 from e4s2024_tpu.training.pti import (
     PTICoach, PTIConfig, StitchingCoach, StitchingConfig,
 )
-from e4s2024_tpu.utils.image import from_pm1, to_pm1
+from e4s2024_tpu.utils.image import to_pm1
 
 import functools
 
@@ -77,6 +85,28 @@ def _paste_back_jit(crop_u8, frame_u8, coeffs, fh, fw):
         return _paste_back_one(crop_u8, frame_u8, coeffs, fh, fw)
     return jax.vmap(lambda c, f, m: _paste_back_one(c, f, m, fh, fw))(
         crop_u8, frame_u8, coeffs)
+
+
+# module-level jitted helpers: a `jax.jit(...)` created inside __call__ is a
+# fresh cache entry per pipeline invocation (retrace every clip)
+_merge_masks_jit = jax.jit(jax.vmap(swap_head_mask))
+_swap_sv_jit = jax.jit(swap_comp_style_vector)
+_to_u8_jit = jax.jit(
+    lambda x: jnp.clip(jnp.rint(x), 0.0, 255.0).astype(jnp.uint8))
+
+
+def _chunked(fn, b: int, *arrs):
+    """Apply `fn` over the leading axis in chunks of `b`, padding the trailing
+    chunk so every call compiles to ONE shape, then concatenate (device) and
+    slice back. Outputs may be arrays or pytrees of arrays."""
+    n = int(arrs[0].shape[0])
+    padded = [pad_to_chunk(a, b)[0] for a in arrs]
+    m = int(padded[0].shape[0])
+    outs = [fn(*(p[i:i + b] for p in padded)) for i in range(0, m, b)]
+    if len(outs) == 1:
+        return jax.tree_util.tree_map(lambda x: x[:n], outs[0])
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs)[:n], *outs)
 
 
 @dataclass
@@ -127,21 +157,25 @@ class FaceSwapVideoPipeline:
 
     # ------------- stage 1: alignment -------------
 
-    def align_frames(self, frames: list[np.ndarray]):
+    def align_frames(self, frames: list[np.ndarray], dev_frames=None):
         """Crop every frame with temporally smoothed quads. Returns
-        (crops (F,S,S,3) float32 [0,255], quads).
+        (crops (F,S,S,3) float32 [0,255] ON DEVICE, quads (host)).
 
         Detection and cropping are batched (chunked jitted programs over the
         clip) when the landmark stack supports it — per-frame dispatch
         round-trips dominate wall time on tunneled transports. A custom
-        per-frame `landmark_fn` hook falls back to the frame loop."""
+        per-frame `landmark_fn` hook falls back to the frame loop. Pass
+        `dev_frames` (the already-uploaded uint8 stack) to avoid a second
+        host->device copy of the clip."""
         s = self.swapper.cfg.out_size
         landmark_fn = self.swapper.ensure_landmark_fn()
         same_size = len({f.shape for f in frames}) == 1
+        if same_size and dev_frames is None:
+            dev_frames = jnp.asarray(np.stack(frames))
         if same_size and hasattr(landmark_fn, "landmarks_video"):
-            stack = np.stack(frames)
             lms, scores = landmark_fn.landmarks_video(
-                stack, chunk=self.cfg.frames_per_batch * 4)
+                dev_frames, chunk=self.cfg.frames_per_batch * 4)
+            lms = np.asarray(lms)
             # honor the stack's confidence floor: the per-frame path returns
             # None (and fails loudly downstream) for no-face frames; the
             # batched path must not silently swap on a score-0 detection
@@ -162,61 +196,54 @@ class FaceSwapVideoPipeline:
         quads = smooth_video_quads(cs, xs, ys, self.cfg.center_sigma,
                                    self.cfg.xy_sigma)
         if same_size:
-            from e4s2024_tpu.pipelines.detect import pad_to_chunk
             b = self.cfg.frames_per_batch * 4
-            frames_arr, n = pad_to_chunk(jnp.asarray(np.stack(frames)), b)
-            quads_arr, _ = pad_to_chunk(
-                jnp.asarray(np.stack(quads) + 0.5, jnp.float32), b)
-            crops = np.concatenate([
-                np.asarray(_crop_quads_jit(frames_arr[i:i + b],
-                                           quads_arr[i:i + b], s))
-                for i in range(0, frames_arr.shape[0], b)])[:n]
+            quads_arr = jnp.asarray(np.stack(quads) + 0.5, jnp.float32)
+            crops = _chunked(
+                lambda f, q: _crop_quads_jit(f, q, s), b,
+                dev_frames, quads_arr)
         else:
-            crops = np.stack([
-                np.asarray(crop_quad(jnp.asarray(f, jnp.float32),
-                                     jnp.asarray(q + 0.5), s))
+            crops = jnp.stack([
+                crop_quad(jnp.asarray(f, jnp.float32),
+                          jnp.asarray(q + 0.5), s)
                 for f, q in zip(frames, quads)
             ])
         return crops, quads
 
     # ------------- stages 3-4: parse + invert (batched) -------------
 
-    def parse_frames(self, crops255: np.ndarray) -> np.ndarray:
-        """(F,S,S,3) [0,255] -> (F,512,512) 12-class labels, batched."""
-        out = []
-        b = self.cfg.frames_per_batch
-        for i in range(0, len(crops255), b):
-            batch = jnp.asarray(crops255[i:i + b] / 255.0)
-            out.append(np.asarray(self.swapper._parse_jit(batch)))
-        return np.concatenate(out)
+    def parse_frames(self, crops255) -> jnp.ndarray:
+        """(F,S,S,3) [0,255] -> (F,512,512) 12-class labels ON DEVICE,
+        batched."""
+        crops255 = jnp.asarray(crops255)
+        return _chunked(
+            lambda c: self.swapper._parse_jit(c.astype(jnp.float32) / 255.0),
+            self.cfg.frames_per_batch, crops255)
 
-    def style_vectors(self, crops255: np.ndarray, labels: np.ndarray) -> np.ndarray:
-        out = []
-        b = self.cfg.frames_per_batch
-        for i in range(0, len(crops255), b):
-            img = jnp.asarray(to_pm1(crops255[i:i + b]))
-            onehot = jax.nn.one_hot(jnp.asarray(labels[i:i + b]),
-                                    self.swapper.cfg.num_seg_cls)
-            out.append(np.asarray(self.swapper._invert_jit(img, onehot)))
-        return np.concatenate(out)
+    def style_vectors(self, crops255, labels) -> jnp.ndarray:
+        crops255 = jnp.asarray(crops255)
+        labels = jnp.asarray(labels)
+
+        def f(c, lb):
+            onehot = jax.nn.one_hot(lb, self.swapper.cfg.num_seg_cls)
+            return self.swapper._invert_jit(
+                to_pm1(c.astype(jnp.float32)), onehot)
+
+        return _chunked(f, self.cfg.frames_per_batch, crops255, labels)
 
     # ------------- stage 2: driven-face enhancement -------------
 
-    def enhance_frames(self, driven255: np.ndarray) -> np.ndarray:
+    def enhance_frames(self, driven255) -> jnp.ndarray:
         """Batched face enhancement of the driven frames (reference
         face_swap_video_pipeline.py:316-323 loops per frame; here every
-        chunk is one device call)."""
-        b = self.cfg.frames_per_batch
-        outs = []
-        for i in range(0, len(driven255), b):
-            outs.append(np.asarray(self.enhancer.enhance_aligned(
-                jnp.asarray(driven255[i:i + b], jnp.float32))))
-        return np.concatenate(outs)
+        chunk is one device call), device-resident."""
+        driven255 = jnp.asarray(driven255)
+        return _chunked(
+            lambda d: self.enhancer.enhance_aligned(d.astype(jnp.float32)),
+            self.cfg.frames_per_batch, driven255)
 
     # ------------- stage 2b: recolor targets -------------
 
-    def recolor_targets(self, driven255: np.ndarray,
-                        t_crops255: np.ndarray) -> np.ndarray:
+    def recolor_targets(self, driven255, t_crops255) -> jnp.ndarray:
         """Per-frame Blender recolor of each driven frame toward its target
         frame's colors — the PTI guidance images (reference
         face_swap_video_pipeline.py:287-300). Identity when no recolorer."""
@@ -224,25 +251,27 @@ class FaceSwapVideoPipeline:
             return driven255
         from e4s2024_tpu.ops.resize import resize_bilinear
 
-        b = self.cfg.frames_per_batch
         s = driven255.shape[1]
-        outs = []
-        for i in range(0, len(driven255), b):
-            d = jnp.asarray(driven255[i:i + b], jnp.float32)
-            t = jnp.asarray(t_crops255[i:i + b], jnp.float32)
+
+        def f(d, t):
+            d = d.astype(jnp.float32)
+            t = t.astype(jnp.float32)
             d19 = self.swapper._parse19(d / 255.0)
             t19 = self.swapper._parse19(t / 255.0)
             rec = self.recolorer.recolor(d, t, d19, t19)
             if rec.shape[1] != s:
                 rec = resize_bilinear(rec, (s, s))
-            outs.append(np.asarray(rec))
-        return np.concatenate(outs)
+            return rec
+
+        return _chunked(f, self.cfg.frames_per_batch,
+                        jnp.asarray(driven255), jnp.asarray(t_crops255))
 
     # ------------- stage 6b: raw swapped synthesis (for stitching) -------------
 
-    def _gen_raw(self, svs: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    def _gen_raw(self, svs, masks) -> jnp.ndarray:
         """Generate the swapped faces WITHOUT compositing, batched.
-        Returns (F, S, S, 3) in [-1, 1] — the stitching content targets."""
+        Returns (F, S, S, 3) in [-1, 1] on device — the stitching content
+        targets."""
         sw = self.swapper
         if not hasattr(self, "_gen_raw_jit"):
             def f(variables, sv, mask):
@@ -255,21 +284,21 @@ class FaceSwapVideoPipeline:
                                          regional_mode=sw.cfg.regional_mode)
                 return img.astype(jnp.float32)
             self._gen_raw_jit = jax.jit(f)
-        b = self.cfg.frames_per_batch
-        outs = []
-        for i in range(0, len(svs), b):
-            outs.append(np.asarray(self._gen_raw_jit(
-                sw.rgi_variables, jnp.asarray(svs[i:i + b]),
-                jnp.asarray(masks[i:i + b]))))
-        return np.concatenate(outs)
+        return _chunked(
+            lambda sv, m: self._gen_raw_jit(sw.rgi_variables, sv, m),
+            self.cfg.frames_per_batch, jnp.asarray(svs), jnp.asarray(masks))
 
     # ------------- full pipeline -------------
 
     def __call__(self, source_img: np.ndarray, frames: list[np.ndarray],
-                 verbose: bool = False, timer=None) -> list[np.ndarray]:
+                 verbose: bool = False, timer=None,
+                 dev_frames=None) -> list[np.ndarray]:
         """`timer` (a `utils.observability.StageTimer`) records per-stage
         wall time with a device sync per stage — profiling runs only (the
-        syncs cost throughput)."""
+        syncs cost throughput). Pass `dev_frames` (the (F, H, W, 3) uint8
+        stack already on device) when the caller uploaded the clip for its
+        own stages (e.g. batched detection) — the clip then crosses
+        host->device exactly once per job."""
         cfg = self.swapper.cfg
         s = cfg.out_size
 
@@ -279,56 +308,74 @@ class FaceSwapVideoPipeline:
 
         import contextlib
 
-        def stage(name):
-            return timer.stage(name) if timer is not None \
+        def stage(name, sync=None):
+            return timer.stage(name, sync=sync) if timer is not None \
                 else contextlib.nullcontext()
+
+        same_size = len({f.shape for f in frames}) == 1
+        # the clip crosses host->device ONCE; every stage below consumes and
+        # produces device arrays (intermediate D2H round-trips dominated this
+        # pipeline on asymmetric tunneled transports)
+        if dev_frames is None and same_size:
+            dev_frames = jnp.asarray(np.stack(frames))
 
         # 1. align
         with stage("detect_align"):
-            t_crops, t_quads = self.align_frames(frames)
+            t_crops, t_quads = self.align_frames(frames, dev_frames)
+            t_crops = jax.block_until_ready(t_crops) if timer is not None \
+                else t_crops
         lm = self.swapper.ensure_landmark_fn()(source_img)
         c, x, y = compute_transform_from_landmarks(lm)
         from e4s2024_tpu.pipelines.alignment import quad_from_cxy
         s_quad = quad_from_cxy(c, x, y)
-        s_crop = np.asarray(crop_quad(jnp.asarray(source_img, jnp.float32),
-                                      jnp.asarray(s_quad + 0.5), s))
+        s_crop = crop_quad(jnp.asarray(source_img, jnp.float32),
+                           jnp.asarray(s_quad + 0.5), s)
 
         # 2. pose-drive + enhancement hook
         with stage("drive_enhance"):
             if self.driven_hook is not None:
-                driven = self.driven_hook(s_crop, t_crops)
+                driven = jnp.asarray(self.driven_hook(
+                    np.asarray(s_crop), np.asarray(t_crops)))
             else:
-                driven = np.repeat(s_crop[None], len(t_crops), axis=0)
+                driven = jnp.repeat(s_crop[None], len(frames), axis=0)
             if self.enhancer is not None:
                 driven = self.enhance_frames(driven)
+            if timer is not None:
+                driven = jax.block_until_ready(driven)
 
         # 2b. per-frame Blender recolor targets for PTI guidance (reference
         # face_swap_video_pipeline.py:287-300; falls back to the driven frame)
         with stage("recolor_targets"):
             recolor_frames = self.recolor_targets(driven, t_crops)
+            if timer is not None:
+                recolor_frames = jax.block_until_ready(recolor_frames)
 
         # 3. parse
         with stage("parse"):
             d_labels = self.parse_frames(driven)
             t_labels = self.parse_frames(t_crops)
+            if timer is not None:
+                t_labels = jax.block_until_ready(t_labels)
 
         # 4. style vectors
         with stage("invert"):
             d_sv = self.style_vectors(driven, d_labels)
             t_sv = self.style_vectors(t_crops, t_labels)
+            if timer is not None:
+                t_sv = jax.block_until_ready(t_sv)
 
         # 5-6. mask merge + style mixing, ALL frames in two jitted batched
         # calls (a per-frame eager loop costs a dispatch round-trip per op on
         # high-latency device transports)
         with stage("mask_merge"):
-            comp = np.asarray(sorted(set(range(cfg.num_seg_cls))
-                                     - set(cfg.keep_target_components)))
-            merged = jax.jit(jax.vmap(swap_head_mask))(jnp.asarray(d_labels),
-                                                       jnp.asarray(t_labels))
-            swapped_svs = np.asarray(jax.jit(swap_comp_style_vector)(
-                jnp.asarray(t_sv), jnp.asarray(d_sv), jnp.asarray(comp)))
-            merged_masks = np.asarray(merged["mask"])
-            holes = np.asarray(merged["hole_mask"])
+            comp = jnp.asarray(sorted(set(range(cfg.num_seg_cls))
+                                      - set(cfg.keep_target_components)))
+            merged = _merge_masks_jit(d_labels, t_labels)
+            swapped_svs = _swap_sv_jit(t_sv, d_sv, comp)
+            merged_masks = merged["mask"]
+            holes = merged["hole_mask"]
+            if timer is not None:
+                holes = jax.block_until_ready(holes)
 
         # 5b. PTI tuning of the generator on this clip
         variables = self.swapper.rgi_variables
@@ -336,17 +383,17 @@ class FaceSwapVideoPipeline:
             with stage("pti_tune"):
                 coach = PTICoach(self.swapper.rgi, self.loss_params,
                                  self.cfg.pti, mesh=self.mesh)
-                # frames/recolor cross to the device as uint8 (tune converts
-                # to pm1 on device): 4x fewer transfer bytes, and parity-
-                # faithful — the reference passes these stages through 8-bit
-                # image files (face_swap_video_pipeline.py imgs/ folders)
+                # frames/recolor enter the tune as uint8 (tune converts to
+                # pm1 on device): 4x fewer bytes through the optimizer's
+                # input pipeline, and parity-faithful — the reference passes
+                # these stages through 8-bit image files
+                # (face_swap_video_pipeline.py imgs/ folders)
                 variables, _ = coach.tune(
                     variables,
-                    frames=np.clip(np.rint(driven), 0, 255).astype(np.uint8),
-                    labels=d_labels.astype(np.uint8),
+                    frames=_to_u8_jit(driven),
+                    labels=d_labels.astype(jnp.uint8),
                     style_vectors=d_sv,
-                    recolor=np.clip(np.rint(recolor_frames), 0,
-                                    255).astype(np.uint8),
+                    recolor=_to_u8_jit(recolor_frames),
                 )
                 # params are jit arguments, so the tuned weights take effect
                 # without retracing
@@ -363,33 +410,60 @@ class FaceSwapVideoPipeline:
                 variables, _ = stitcher.tune(
                     self.swapper.rgi_variables,
                     content_imgs=content,
-                    border_imgs=np.clip(np.rint(t_crops), 0,
-                                        255).astype(np.uint8),
-                    labels=merged_masks.astype(np.uint8),
+                    border_imgs=_to_u8_jit(t_crops),
+                    labels=merged_masks.astype(jnp.uint8),
                     style_vectors=swapped_svs,
                 )
                 self.swapper.rgi_variables = variables
 
         # 6-7. synthesize + composite + paste back, BATCHED over frames:
-        # one synth+composite program and one paste-back program per chunk
-        # instead of several eager dispatches per frame
+        # one synth+composite program and one paste-back program per chunk.
+        # Composed uint8 chunks start their device->host copies ASYNC as soon
+        # as each chunk is dispatched, overlapping the transfer of chunk i
+        # with the compute of chunk i+1 — the only D2H of the whole pipeline.
         with stage("synth_composite_pasteback"):
-            fh, fw = frames[0].shape[0], frames[0].shape[1]
-            coeffs = np.stack([np.asarray(paste_back_coefficients(q, s),
-                                          np.float32) for q in t_quads])
-            frames_arr = np.stack(frames)
-            outputs = []
-            b = self.cfg.frames_per_batch
-            for i in range(0, len(t_crops), b):
+            coeffs = jnp.asarray(np.stack([
+                np.asarray(paste_back_coefficients(q, s), np.float32)
+                for q in t_quads]))
+            if dev_frames is None:
+                # mixed-size frames: batched synthesis, per-frame paste-back
+                # (each frame shape is its own compiled paste-back program)
                 out255 = self.swapper._synth_jit(
-                    jnp.asarray(swapped_svs[i:i + b]),
-                    jnp.asarray(merged_masks[i:i + b]),
-                    jnp.asarray(holes[i:i + b]),
-                    jnp.asarray(to_pm1(t_crops[i:i + b])),
-                )
-                composed = _paste_back_jit(out255,
-                                           jnp.asarray(frames_arr[i:i + b]),
-                                           jnp.asarray(coeffs[i:i + b]),
-                                           fh, fw)
-                outputs.extend(np.asarray(composed))
+                    swapped_svs, merged_masks, holes,
+                    to_pm1(t_crops.astype(jnp.float32)))
+                return [np.asarray(_paste_back_jit(
+                    out255[i], jnp.asarray(f), coeffs[i],
+                    f.shape[0], f.shape[1]))
+                    for i, f in enumerate(frames)]
+            fh, fw = frames[0].shape[0], frames[0].shape[1]
+            b = self.cfg.frames_per_batch
+            n = len(frames)
+            t_pm1 = to_pm1(t_crops.astype(jnp.float32))
+            chunks = []
+            for i in range(0, n, b):
+                sl = slice(i, min(i + b, n))
+                pad = b - (sl.stop - sl.start)
+
+                def pick(a):
+                    part = a[sl]
+                    if pad:
+                        part = jnp.concatenate(
+                            [part, jnp.repeat(part[-1:], pad, 0)])
+                    return part
+
+                out255 = self.swapper._synth_jit(
+                    pick(swapped_svs), pick(merged_masks), pick(holes),
+                    pick(t_pm1))
+                composed = _paste_back_jit(out255, pick(dev_frames),
+                                           pick(coeffs), fh, fw)
+                composed.copy_to_host_async()
+                chunks.append((composed, b - pad))
+        # the ONLY device->host transfer of the pipeline, overlapped with the
+        # chunk compute above by the async copies; timed as its own stage so
+        # profiles separate compute from transport (tunneled D2H can be
+        # orders of magnitude below hardware DMA rates)
+        with stage("d2h_gather"):
+            outputs = []
+            for composed, k in chunks:
+                outputs.extend(np.asarray(composed)[:k])
         return outputs

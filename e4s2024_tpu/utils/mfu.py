@@ -57,8 +57,15 @@ def program_cost(fn, *args, **kwargs) -> dict:
         args = (*fn.bound_args, *args)
         fn = fn.jitted
     jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
-    compiled = jfn.lower(*args, **kwargs).compile()
-    costs = compiled.cost_analysis()
+    lowered = jfn.lower(*args, **kwargs)
+    try:
+        costs = lowered.compile().cost_analysis()
+    except Exception:
+        # Tunneled remote-compile endpoints can reject large programs
+        # (HTTP 413/500). The pre-compile estimate from the unoptimized HLO
+        # counts the same matmul/conv FLOPs (fusion changes bytes more than
+        # flops); better an estimate than an "error" field in the artifact.
+        costs = lowered.cost_analysis()
     # cost_analysis() returns a dict (newer jax) or a 1-element list of dicts
     if isinstance(costs, (list, tuple)):
         costs = costs[0] if costs else {}

@@ -87,7 +87,9 @@ def test_video_enhancer_stage(rng):
     driven = (rng.random((5, 64, 64, 3)) * 255).astype(np.float32)
     out = pipe.enhance_frames(driven)
     assert out.shape == driven.shape
-    assert FakeEnhancer.batches == [2, 2, 1]
+    # the trailing chunk is PADDED to the compiled chunk shape (one program
+    # per clip; pipelines/video.py _chunked), so every call sees batch 2
+    assert FakeEnhancer.batches == [2, 2, 2]
     np.testing.assert_allclose(out, np.clip(driven + 1.0, 0, 255), atol=1e-4)
 
 
