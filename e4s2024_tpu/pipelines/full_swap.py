@@ -59,14 +59,16 @@ class FullSwapConfig:
     optimize_w_lr: float = 1e-2
     blend_up_ratio: float = 0.75       # edge-aware recolor blend (:910-924)
     # largest batch executed as ONE fused program call by swap_batch; bigger
-    # batches are chunked. None = auto by resolution: at 1024^2 the fused
-    # program is HBM-bandwidth-bound at B=1 (132 GB accessed / 150 ms call
-    # ~ the v5e roofline) and batching INCREASES bytes per swap (+10% at
-    # B=4 from lost fusion -> 23% slower per swap; scripts/
-    # profile_batch1024.py), so auto chunks to single pairs there; at
-    # <= 512^2 the ~20 ms program is dispatch-bound and batching wins
-    # (134 vs 71 swaps/s at B=8, BENCH_r03.json). Sharded serving
-    # (shard_inference) always keeps the whole batch — the mesh splits it.
+    # batches are chunked. None = auto: keep the whole batch at every
+    # resolution. Round 4 measured a 1024^2 batched regression (+10% bytes
+    # per swap at B=4, scripts/profile_batch1024.py) and chunked to single
+    # pairs there, but once the pipeline went device-resident and the
+    # enhancer chunked internally the whole-batch program wins again on
+    # chip: 5.44 swaps/s whole-batch vs 3.00 chunked-1 vs 3.58 single-pair
+    # at B=4 1024^2 (BENCH_FULL_ZOO.json, round 5); at <= 512^2 batching
+    # always won (134 vs 71 swaps/s at B=8, BENCH_r03.json). Sharded
+    # serving (shard_inference) also keeps the whole batch — the mesh
+    # splits it.
     max_fused_batch: int | None = None
 
 
@@ -335,7 +337,7 @@ class FullFaceSwapPipeline:
         FullSwapConfig.max_fused_batch; measured policy)."""
         if self.cfg.max_fused_batch is not None:
             return max(1, self.cfg.max_fused_batch)
-        return 1 if self.swapper.cfg.out_size >= 1024 else batch
+        return batch
 
     def swap_batch(self, source_crops255, target_crops255) -> np.ndarray:
         """Swap B pre-aligned pairs at once: (B, S, S, 3) -> (B, S, S, 3)

@@ -126,9 +126,10 @@ def main():
             bbest = min(bbest, (time.perf_counter() - t0)
                         / max(2, args.iters // 2))
         assert bout.shape == (args.batch, size, size, 3)
-        # the raw whole-batch fused program too — the number that motivated
-        # the auto-chunk policy (HBM-BW-bound at B=1; batching adds bytes
-        # per swap at 1024^2 — scripts/profile_batch1024.py)
+        # the raw whole-batch fused program too — recorded alongside the
+        # policy path so a policy/measurement drift (like round 4's 1024^2
+        # chunk-1 policy outliving its motivating regression) shows up in
+        # the artifact itself
         wbest = float("inf")
         try:
             wout = pipe._fused_batch(bsrc, btgt)

@@ -119,9 +119,8 @@ def test_fused_path_matches_staged(rng):
     out = pipe_rct(src, tgt)
     assert out["image"].shape == (64, 64, 3)
 
-    # auto-chunked batched execution (the measured-faster shape at 1024^2 is
-    # chunk=1, FullSwapConfig.max_fused_batch): identical results to the
-    # whole-batch program call, any chunk size
+    # chunked batched execution (FullSwapConfig.max_fused_batch): identical
+    # results to the whole-batch program call, any chunk size
     pipe.cfg.max_fused_batch = 1
     chunked = pipe.swap_batch(np.stack([src, src2]), np.stack([tgt, tgt2]))
     pipe.cfg.max_fused_batch = None
@@ -129,7 +128,8 @@ def test_fused_path_matches_staged(rng):
     d = np.abs(chunked.astype(np.int32) - batch.astype(np.int32))
     assert d.mean() < 2.0  # chunk-1 call == single fused call (label flips
     # vs the B=2 trace are the same fusion-boundary effect as above)
-    # at 64^2 (< 1024) the auto policy keeps the whole batch
+    # the auto policy keeps the whole batch (measured-faster on chip at
+    # every resolution once the pipeline went device-resident, round 5)
     assert pipe._batch_chunk(8) == 8
     # fallback swap_batch loops the staged path with the same contract
     batch_staged = pipe_rct.swap_batch(np.stack([src, src2]),
