@@ -157,9 +157,11 @@ def bench_raw_e2e(sw, n_frames: int, tune_seconds: float, enhancer=None):
     for k, v in timer.times.items():
         stage_s[k] = v
     # the pipeline's own detect_align stage re-ran the (cheap) hook + crop
-    # path; detection itself is the separately timed batched stage above
-    total = stage_s["decode"] + stage_s["detect"] + pipe_s \
-        + stage_s["encode"]
+    # path; detection itself is the separately timed batched stage above.
+    # h2d_upload is a real cost of the job (the clip must reach the device
+    # once) and is INCLUDED in the e2e total.
+    total = stage_s["decode"] + stage_s["h2d_upload"] + stage_s["detect"] \
+        + pipe_s + stage_s["encode"]
     # wall FPS minus the pure-transport stages: what the same pipeline does
     # when H2D/D2H run at hardware DMA rates instead of the tunnel's
     transfer_s = stage_s.get("h2d_upload", 0.0) + stage_s.get("d2h_gather",
@@ -170,8 +172,9 @@ def bench_raw_e2e(sw, n_frames: int, tune_seconds: float, enhancer=None):
         "e2e_raw_fps": round(F / total, 2),
         "e2e_raw_fps_with_80step_tuning": round(
             F / (total + tune_seconds), 2),
-        "e2e_fps_excl_transport": round(F / max(total - transfer_s, 1e-9),
+        "e2e_fps_excl_transport": round(F / max(total - transfer_s, 1e-3),
                                         2),
+        "transport_seconds": round(transfer_s, 2),
         "e2e_seconds": round(total, 2),
         "stage_seconds": {k: round(v, 3) for k, v in stage_s.items()},
         "note": ("detection is the real batched RetinaFace+FAN stack, timed "
@@ -315,7 +318,17 @@ def main():
     # production pays it), plus a short call to split out the fixed setup
     tune_seconds = time_pti(fast_coach, F, args.pti_steps)
     t_short = time_pti(fast_coach, F, 8)
-    per_step = max(tune_seconds - t_short, 1e-9) / max(args.pti_steps - 8, 1)
+    per_step = (tune_seconds - t_short) / max(args.pti_steps - 8, 1)
+    pti_step_note = "marginal cost: (t_80step - t_8step) / 72"
+    if per_step <= 1e-4:
+        # the two calls took the same wall time: per-call fixed cost
+        # (dispatch through the tunnel) dominates and the two-point
+        # marginal estimate is noise. Report the amortized upper bound.
+        per_step = tune_seconds / args.pti_steps
+        pti_step_note = ("two-point marginal estimate degenerate (8-step "
+                         "call ~as slow as the 80-step call: per-call fixed "
+                         "cost dominates); value is tune_seconds/steps — an "
+                         "UPPER bound incl. amortized setup")
 
     # exact-mode cost, for the parity record (sub-clip x linear scaling if
     # the full clip's backprop doesn't fit HBM)
@@ -368,12 +381,21 @@ def main():
             up_xla = SwinIRUpscaler(swin_p, model=up.model, fused=False)
             a = np.asarray(up.upscale(probe))
             bx = np.asarray(up_xla.upscale(probe))
+            max_d = float(np.abs(a - bx).max())
+            # bf16 tolerance for two DIFFERENT bf16 evaluation orders of a
+            # 60-block residual net on the 0..255 scale: per-block rounding
+            # (~2^-8 relative) compounds along the residual stream; 8/255
+            # (~3%) bounds it with margin while still catching a wrong
+            # kernel (a real bug shows up as O(100) deltas, see
+            # tests/test_swin_fused.py perturbation check)
             kernel_numerics = {
                 "compare": "fused SwinBlock Pallas kernel vs XLA bf16, "
                            "1x256^2 x4 SR, on-chip",
-                "max_abs_delta_0_255": round(float(np.abs(a - bx).max()), 4),
+                "max_abs_delta_0_255": round(max_d, 4),
                 "mean_abs_delta_0_255": round(
                     float(np.abs(a - bx).mean()), 5),
+                "bf16_tolerance_0_255": 8.0,
+                "within_tolerance": bool(max_d <= 8.0),
                 "fused_still_active": bool(up.fused),
             }
         except Exception as e:
@@ -426,6 +448,8 @@ def main():
         "detail": {
             "frames": F, "size": size, "frames_per_batch": B,
             "pti_step_ms": round(per_step * 1e3, 1),
+            "pti_step_note": pti_step_note,
+            "pti_tune_call_seconds_8steps": round(t_short, 1),
             "pti_mode": ("stochastic minibatch 8 frames, bf16, fast "
                          "regional, unchunked"),
             "pti_step_ms_exact_fullclip_f32": round(per_step_exact * 1e3, 1),
