@@ -105,6 +105,14 @@ class PTIConfig:
     # f32): halves HBM traffic and doubles MXU rate on TPU
     compute_dtype: str = "float32"
     sample_seed: int = 0
+    # Fuse this many optimizer steps into ONE device program (lax.scan over
+    # steps): an 80-step tune becomes 8 dispatches instead of 80, so the
+    # per-dispatch floor of high-latency transports (remote-TPU tunnels)
+    # amortizes 10x and the whole segment schedules as one XLA program.
+    # Identical update sequence to the per-step loop (same minibatch
+    # permutation, same step math). None/1 = one dispatch per step.
+    # Single-device paths only; a mesh already amortizes via sharding.
+    scan_steps: int | None = 10
 
 
 class PTICoach:
@@ -131,6 +139,8 @@ class PTICoach:
             )
         else:
             self._step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._scan_jit = None
+        self._scan_full_jit = None
 
     def _build_tx(self, params):
         cfg_like = TrainConfig(out_size=self.net.out_size,
@@ -139,6 +149,29 @@ class PTICoach:
         self.tx = optax.multi_transform(
             {True: optax.adam(self.cfg.learning_rate), False: optax.set_to_zero()},
             mask)
+
+    def _build_scan(self):
+        """Jitted multi-step programs: lax.scan over optimizer steps, so a
+        whole segment of the tune is ONE dispatch. Two flavors — stochastic
+        mini-batch (scans precomputed index rows) and full-clip (scans a
+        static step count). The scan body is `_train_step` verbatim, so the
+        update sequence is bit-identical to the per-step loop."""
+        def scan_mb(carry, buffers, frames, labels, svs, recolor, idxs):
+            def body(c, idx):
+                return self._train_step(c, buffers, frames, labels, svs,
+                                        recolor, idx)
+            return jax.lax.scan(body, carry, idxs)
+
+        self._scan_jit = jax.jit(scan_mb, donate_argnums=(0,))
+
+        def scan_full(n_steps, carry, buffers, frames, labels, svs, recolor):
+            def body(c, _):
+                return self._train_step(c, buffers, frames, labels, svs,
+                                        recolor)
+            return jax.lax.scan(body, carry, None, length=n_steps)
+
+        self._scan_full_jit = jax.jit(scan_full, static_argnums=(0,),
+                                      donate_argnums=(1,))
 
     def _synth(self, params, buffers, style_vectors, onehot):
         def synth(p, sv, oh):
@@ -256,17 +289,20 @@ class PTICoach:
 
     @staticmethod
     def _sync_history(history: list) -> list:
-        """Device metric dicts -> host float dicts in one batched fetch.
-        Per-step float() syncs serialize the training loop on the host
-        (measured: +80 ms/step on the tunnel, and they block async dispatch
-        pipelining)."""
+        """Device metric dicts -> per-step host float dicts in one batched
+        fetch per key. Entries are scalar dicts (per-step loop) or
+        (S,)-stacked dicts (scan segments); both concatenate device-side so
+        the host pays one fetch per key, not one per step — per-step float()
+        syncs serialize the loop (measured: +80 ms/step on the tunnel, and
+        they block async dispatch pipelining)."""
         if not history:
             return history
         keys = list(history[0].keys())
-        stacked = jax.device_get(
-            {k: jnp.stack([h[k] for h in history]) for k in keys})
-        return [{k: float(stacked[k][i]) for k in keys}
-                for i in range(len(history))]
+        flat = jax.device_get({
+            k: jnp.concatenate([jnp.atleast_1d(h[k]) for h in history])
+            for k in keys})
+        n = len(flat[keys[0]])
+        return [{k: float(flat[k][i]) for k in keys} for i in range(n)]
 
     def tune(self, variables: dict, frames, labels, style_vectors, recolor,
              steps: int | None = None):
@@ -303,13 +339,28 @@ class PTICoach:
             m = cfg.frames_per_step
             prng = np.random.default_rng(cfg.sample_seed)
             perm, pos = prng.permutation(f), 0
+            rows = []
             for _ in range(n_steps):
                 if pos + m > f:
                     perm, pos = prng.permutation(f), 0
-                idx = jnp.asarray(perm[pos:pos + m])
+                rows.append(perm[pos:pos + m])
                 pos += m
+            i = 0
+            seg = cfg.scan_steps or 0
+            if seg > 1 and n_steps >= seg:
+                if self._scan_jit is None:
+                    self._build_scan()
+                while n_steps - i >= seg:
+                    idxs = jnp.asarray(np.stack(rows[i:i + seg]))
+                    carry, metrics = self._scan_jit(
+                        carry, buffers, frames, labels, style_vectors,
+                        recolor, idxs)
+                    history.append(metrics)
+                    i += seg
+            for j in range(i, n_steps):  # remainder: per-step dispatch
                 carry, metrics = self._step(carry, buffers, frames, labels,
-                                            style_vectors, recolor, idx)
+                                            style_vectors, recolor,
+                                            jnp.asarray(rows[j]))
                 history.append(metrics)
             params, _ = carry
             return ({"params": params, "buffers": buffers},
@@ -327,7 +378,18 @@ class PTICoach:
                 x.reshape((n, cs) + x.shape[1:])
                 for x in (frames, labels, style_vectors, recolor))
 
-        for _ in range(n_steps):
+        i = 0
+        seg = cfg.scan_steps or 0
+        if self.mesh is None and seg > 1 and n_steps >= seg:
+            if self._scan_full_jit is None:
+                self._build_scan()
+            while n_steps - i >= seg:
+                carry, metrics = self._scan_full_jit(
+                    seg, carry, buffers, frames, labels, style_vectors,
+                    recolor)
+                history.append(metrics)
+                i += seg
+        for _ in range(i, n_steps):  # remainder: per-step dispatch
             carry, metrics = self._step(carry, buffers, frames, labels,
                                         style_vectors, recolor)
             history.append(metrics)
@@ -355,6 +417,8 @@ class StitchingConfig:
     # layers carry a frames x 12-region batch; measured: 5 frames/chunk
     # peaks at 17.2G and OOMs)
     frames_per_chunk: int | None = 2
+    # optimizer steps fused per device program (see PTIConfig.scan_steps)
+    scan_steps: int | None = 10
 
 
 class StitchingCoach:
@@ -485,7 +549,26 @@ class StitchingCoach:
                 for x in (content_imgs, border_imgs, labels, style_vectors))
         carry = PTICoach._init_carry(self, params)
         history = []
-        for _ in range(steps if steps is not None else self.cfg.max_steps):
+        n_steps = steps if steps is not None else self.cfg.max_steps
+        i = 0
+        seg = cfg.scan_steps or 0
+        if self.mesh is None and seg > 1 and n_steps >= seg:
+            # fuse `seg` optimizer steps per dispatch (see
+            # PTICoach._build_scan — same update sequence as the loop)
+            if getattr(self, "_scan_full_jit", None) is None:
+                def scan_full(k, c, buffers, ci, bi, lb, sv):
+                    def body(cc, _):
+                        return self._train_step(cc, buffers, ci, bi, lb, sv)
+                    return jax.lax.scan(body, c, None, length=k)
+                self._scan_full_jit = jax.jit(
+                    scan_full, static_argnums=(0,), donate_argnums=(1,))
+            while n_steps - i >= seg:
+                carry, metrics = self._scan_full_jit(
+                    seg, carry, buffers, content_imgs, border_imgs, labels,
+                    style_vectors)
+                history.append(metrics)
+                i += seg
+        for _ in range(i, n_steps):  # remainder: per-step dispatch
             carry, metrics = self._step(
                 carry, buffers, content_imgs, border_imgs, labels,
                 style_vectors)

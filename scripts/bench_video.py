@@ -289,10 +289,14 @@ def main():
         sw.rgi_variables["params"]),
         "buffers": sw.rgi_variables["buffers"]}
 
-    def time_pti(coach, n_frames, measure_steps, u8=True):
+    def time_pti(coach, n_frames, measure_steps, u8=True, device=False):
         """Wall time of a PRODUCTION tune() call: host uint8 clip in, tuned
         params out — H2D transfer, jitted setup and the per-step loop all
-        included (the honest per-clip cost; compile warms on a 1-step call)."""
+        included (the honest per-clip cost; compile warms on a 1-step call).
+        With device=True the clip is pre-uploaded and synced before timing —
+        the video pipeline's own mode (it passes device arrays,
+        pipelines/video.py stage 5b), isolating step cost from tunnel
+        ingress."""
         if u8:
             fr = np.asarray(driven_u8[:n_frames])          # host uint8
             lbl = d_lbl[:n_frames].astype(np.uint8)
@@ -300,8 +304,17 @@ def main():
             fr = to_pm1(np.asarray(driven_u8[:n_frames], np.float32))
             lbl = d_lbl[:n_frames]
         sv = np.asarray(d_sv[:n_frames], np.float32)
+        if device:
+            fr = jax.block_until_ready(jnp.asarray(fr))
+            lbl = jax.block_until_ready(jnp.asarray(lbl))
+            sv = jax.block_until_ready(jnp.asarray(sv))
+        # compile warmup: scan_steps+1 steps compiles BOTH the fused
+        # scan-segment program (lax.scan over scan_steps optimizer steps,
+        # one dispatch per segment) and the per-step remainder program, so
+        # the timed calls below are compile-free at any step count
+        warm = (coach.cfg.scan_steps or 0) + 1
         v, _ = coach.tune(f32_vars, frames=fr, labels=lbl, style_vectors=sv,
-                          recolor=fr, steps=1)  # compile
+                          recolor=fr, steps=warm)
         t0 = time.perf_counter()
         coach.tune(v, frames=fr, labels=lbl, style_vectors=sv, recolor=fr,
                    steps=measure_steps)
@@ -329,6 +342,14 @@ def main():
                          "call ~as slow as the 80-step call: per-call fixed "
                          "cost dominates); value is tune_seconds/steps — an "
                          "UPPER bound incl. amortized setup")
+
+    # device-resident marginal step cost: the video pipeline's own mode
+    # (inputs are already device arrays there) — no H2D in the timed region,
+    # so this is the true optimizer-step cost even when the tunnel degrades
+    tune_seconds_dev = time_pti(fast_coach, F, args.pti_steps, device=True)
+    t_short_dev = time_pti(fast_coach, F, 8, device=True)
+    per_step_dev = max(tune_seconds_dev - t_short_dev, 0.0) \
+        / max(args.pti_steps - 8, 1)
 
     # exact-mode cost, for the parity record (sub-clip x linear scaling if
     # the full clip's backprop doesn't fit HBM)
@@ -450,6 +471,9 @@ def main():
             "pti_step_ms": round(per_step * 1e3, 1),
             "pti_step_note": pti_step_note,
             "pti_tune_call_seconds_8steps": round(t_short, 1),
+            "pti_step_ms_device_resident": round(per_step_dev * 1e3, 1),
+            "pti_tune_seconds_80steps_device_resident": round(
+                tune_seconds_dev, 1),
             "pti_mode": ("stochastic minibatch 8 frames, bf16, fast "
                          "regional, unchunked"),
             "pti_step_ms_exact_fullclip_f32": round(per_step_exact * 1e3, 1),

@@ -219,3 +219,72 @@ def test_pti_bf16_compute(tiny, rng):
     assert min(h["loss"] for h in hist) < hist[0]["loss"]
     leaf = tuned["params"]["generator"]["conv1"]["conv"]["weight"]
     assert leaf.dtype == jnp.float32
+
+
+def _tree_allclose(a, b, rtol=2e-4, atol=2e-6):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for x, y in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def test_pti_scan_steps_matches_loop_minibatch(tiny, rng):
+    """scan_steps fuses optimizer steps into one program; the update
+    sequence must match the per-step loop (same permutation, same math).
+    5 steps with scan_steps=2 = two scanned segments + 1 remainder step."""
+    net, v = tiny
+    f = 4
+    frames = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32) * 0.1
+    base = dict(max_pti_steps=5, frames_per_step=2, lpips_lambda=0.0,
+                id_lambda=0.0, face_parsing_lambda=0.0, recolor_lambda=1.0,
+                learning_rate=1e-3)
+    t_scan, h_scan = PTICoach(net, {}, PTIConfig(scan_steps=2, **base)).tune(
+        v, frames, labels, sv, frames)
+    t_loop, h_loop = PTICoach(net, {}, PTIConfig(scan_steps=None, **base)).tune(
+        v, frames, labels, sv, frames)
+    assert len(h_scan) == len(h_loop) == 5
+    for a, b in zip(h_scan, h_loop):
+        assert abs(a["loss"] - b["loss"]) <= 1e-4 * (1 + abs(b["loss"]))
+    _tree_allclose(t_scan["params"], t_loop["params"])
+
+
+def test_pti_scan_steps_matches_loop_fullclip(tiny, rng):
+    """Full-clip (chunked gradient-accumulation) path under scan_steps."""
+    net, v = tiny
+    f = 4
+    frames = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32) * 0.1
+    base = dict(max_pti_steps=4, frames_per_chunk=2, lpips_lambda=0.0,
+                id_lambda=0.0, face_parsing_lambda=0.0, recolor_lambda=1.0,
+                learning_rate=1e-3)
+    t_scan, h_scan = PTICoach(net, {}, PTIConfig(scan_steps=2, **base)).tune(
+        v, frames, labels, sv, frames)
+    t_loop, h_loop = PTICoach(net, {}, PTIConfig(scan_steps=None, **base)).tune(
+        v, frames, labels, sv, frames)
+    assert len(h_scan) == len(h_loop) == 4
+    for a, b in zip(h_scan, h_loop):
+        assert abs(a["loss"] - b["loss"]) <= 1e-4 * (1 + abs(b["loss"]))
+    _tree_allclose(t_scan["params"], t_loop["params"])
+
+
+def test_stitching_scan_steps_matches_loop(tiny, rng):
+    net, v = tiny
+    f = 2
+    content = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    border = rng.standard_normal((f, 64, 64, 3)).astype(np.float32) * 0.3
+    labels = rng.integers(0, 12, (f, 64, 64))
+    sv = rng.standard_normal((f, 12, 1280)).astype(np.float32) * 0.1
+    base = dict(max_steps=3, lpips_lambda=0.0, outer_dilation=3)
+    t_scan, h_scan = StitchingCoach(net, {}, StitchingConfig(
+        scan_steps=2, **base)).tune(v, content, border, labels, sv)
+    t_loop, h_loop = StitchingCoach(net, {}, StitchingConfig(
+        scan_steps=None, **base)).tune(v, content, border, labels, sv)
+    assert len(h_scan) == len(h_loop) == 3
+    for a, b in zip(h_scan, h_loop):
+        assert abs(a["loss"] - b["loss"]) <= 1e-4 * (1 + abs(b["loss"]))
+    _tree_allclose(t_scan["params"], t_loop["params"])
